@@ -1,0 +1,37 @@
+"""aria_slam_tpu — TPU-native visual-inertial SLAM framework.
+
+A ground-up JAX/XLA/Pallas re-design of the capability set of the CUDA/C++
+reference `robertteleng/aria-slam` (visual-inertial SLAM for Meta Aria
+glasses): ORB front-end, Hamming matching on the MXU, essential-matrix
+RANSAC VO, 15-state error-state EKF fusion, loop closure over a
+device-resident keyframe database, SE3 pose-graph optimization, sparse
+3D mapping with PLY/PCD export, and a YOLO-class object detector for
+dynamic-feature filtering — all as pure, fixed-shape, jit-compiled
+functions.
+
+Reference parity map: see SURVEY.md §2 (component inventory). Each module
+docstring cites the reference file it provides parity with.
+"""
+
+__version__ = "0.1.0"
+
+import jax as _jax
+
+# SLAM geometry (Rodrigues, DLT, normal equations, EKF covariances) needs
+# true-f32 matmuls; the default TPU MXU path (and this build's CPU backend)
+# computes f32 matmuls in bf16 passes, which costs ~3 digits and breaks the
+# 2 px reprojection / 1 px RANSAC gates. Integer (Hamming) matmuls are
+# unaffected; the detector opts into bf16 explicitly where it wants speed.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
+from aria_slam_tpu.config import (  # noqa: F401
+    CameraConfig,
+    OrbConfig,
+    MatcherConfig,
+    RansacConfig,
+    EkfConfig,
+    LoopClosureConfig,
+    MapperConfig,
+    DetectorConfig,
+    PipelineConfig,
+)

@@ -1,0 +1,204 @@
+"""Static configuration tree.
+
+Everything that determines a traced shape lives here (static, hashable
+dataclasses) so that jitted step functions never recompile mid-sequence.
+Parity: the reference scatters tunables across constructor defaults and
+hardcoded constants (SURVEY.md §5.6; reference include/legacy/*.hpp);
+here they form one config tree, loadable from YAML.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole intrinsics. Defaults = EuRoC cam0
+    (reference src/legacy/EuRoCReader.cpp:12-20)."""
+
+    width: int = 752
+    height: int = 480
+    fx: float = 458.654
+    fy: float = 457.296
+    cx: float = 367.215
+    cy: float = 248.375
+    # radtan distortion (k1, k2, p1, p2)
+    k1: float = -0.28340811
+    k2: float = 0.07395907
+    p1: float = 0.00019359
+    p2: float = 1.76187114e-05
+
+    @property
+    def K(self):
+        import numpy as np
+
+        return np.array(
+            [[self.fx, 0.0, self.cx], [0.0, self.fy, self.cy], [0.0, 0.0, 1.0]],
+            dtype=np.float32,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class OrbConfig:
+    """ORB front-end (parity: reference src/adapters/gpu/OrbCudaExtractor.cpp:35-45,
+    src/euroc_eval.cpp:88 uses 2000 features)."""
+
+    num_features: int = 2000
+    scale_factor: float = 1.2
+    num_levels: int = 8
+    fast_threshold: float = 20.0
+    harris_block_size: int = 7
+    patch_size: int = 31  # orientation + descriptor patch
+    edge_threshold: int = 31  # border where no keypoints are produced
+    descriptor_bits: int = 256
+    brief_seed: int = 2024  # deterministic rBRIEF sampling pattern
+
+
+@dataclasses.dataclass(frozen=True)
+class MatcherConfig:
+    """Hamming kNN matcher (parity: reference src/main.cpp:158-175)."""
+
+    ratio: float = 0.75  # Lowe ratio for tracking
+    cross_check: bool = False
+    max_distance: int = 256  # no gate by default
+
+
+@dataclasses.dataclass(frozen=True)
+class RansacConfig:
+    """Essential-matrix RANSAC (parity: reference src/main.cpp:187-191,
+    findEssentialMat(prob=0.999, thresh=1.0px) + recoverPose)."""
+
+    num_hypotheses: int = 256
+    sample_size: int = 8
+    inlier_threshold_px: float = 1.0
+    min_matches: int = 8
+    min_inliers: int = 10  # euroc_eval requires >10 inliers (euroc_eval.cpp:191)
+    refine: bool = True
+    seed: int = 7
+
+
+@dataclasses.dataclass(frozen=True)
+class EkfConfig:
+    """15-state error-state EKF (parity: reference include/legacy/IMU.hpp:108-113,
+    src/legacy/IMU.cpp:104-127)."""
+
+    accel_noise: float = 0.1
+    gyro_noise: float = 0.01
+    accel_bias_walk: float = 0.001
+    gyro_bias_walk: float = 0.0001
+    pos_noise: float = 0.01
+    rot_noise: float = 0.01
+    gravity: Tuple[float, float, float] = (0.0, 0.0, -9.81)
+    max_dt: float = 0.1  # dt gate (IMU.cpp:146-149)
+    imu_window: int = 32  # max IMU samples per frame step (padded)
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopClosureConfig:
+    """Loop-closure detector (parity: reference src/legacy/LoopClosure.cpp;
+    euroc_eval.cpp:103 uses (min_frames_between=200, min_score=0.4wrong
+    -> actually (200, 0.4, 50)): min gap 200, min score 0.4, min matches 50.
+    DB capacity 500 keyframes (LoopClosure.cpp:29)."""
+
+    max_keyframes: int = 512  # padded capacity (ref: 500)
+    min_frames_between: int = 200
+    min_score: float = 0.4
+    min_matches: int = 50
+    ratio: float = 0.7  # loop-closure ratio test (LoopClosure.cpp:92)
+    candidate_score_floor: float = 0.1
+    top_k_candidates: int = 5
+    verify_threshold_px: float = 3.0  # FM_RANSAC reproj threshold
+
+
+@dataclasses.dataclass(frozen=True)
+class MapperConfig:
+    """3D mapper filters (parity: reference include/legacy/Mapper.hpp:67-70)."""
+
+    max_points: int = 200_000  # padded map capacity
+    min_depth: float = 0.1
+    max_depth: float = 50.0
+    min_parallax_deg: float = 1.0
+    max_reproj_error_px: float = 2.0
+    outlier_sigma: float = 3.0  # statistical filter (Mapper.cpp:134-165)
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    """YOLO-class object detector (parity: reference src/legacy/TRTInference.cpp,
+    YOLO26s 640x640 [1,300,6] output)."""
+
+    input_size: int = 640
+    max_detections: int = 300
+    conf_threshold: float = 0.5
+    nms_iou_threshold: float = 0.45
+    num_classes: int = 80
+    width_mult: float = 0.50  # "s" scale
+    depth_mult: float = 0.33
+
+
+@dataclasses.dataclass(frozen=True)
+class PoseGraphConfig:
+    """SE3 pose-graph optimizer (parity: reference src/legacy/LoopClosure.cpp:197-313,
+    g2o LM; loop edges weighted 10x: LoopClosure.cpp:275-280)."""
+
+    max_nodes: int = 4096
+    max_edges: int = 8192
+    loop_edge_weight: float = 10.0
+    lm_iterations: int = 10
+    final_lm_iterations: int = 50
+    cg_iterations: int = 64
+    init_lambda: float = 1e-4
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level toggle set (parity: reference include/pipeline/SlamPipeline.hpp:16-25)."""
+
+    camera: CameraConfig = CameraConfig()
+    orb: OrbConfig = OrbConfig()
+    matcher: MatcherConfig = MatcherConfig()
+    ransac: RansacConfig = RansacConfig()
+    ekf: EkfConfig = EkfConfig()
+    loop: LoopClosureConfig = LoopClosureConfig()
+    mapper: MapperConfig = MapperConfig()
+    detector: DetectorConfig = DetectorConfig()
+    pose_graph: PoseGraphConfig = PoseGraphConfig()
+
+    enable_loop_closure: bool = True
+    enable_detection: bool = False  # detector weights are optional
+    enable_mapping: bool = True
+    enable_dynamic_filtering: bool = False
+    enable_fusion: bool = True
+
+    @staticmethod
+    def from_yaml(path: str) -> "PipelineConfig":
+        import yaml
+
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        return PipelineConfig.from_dict(raw)
+
+    @staticmethod
+    def from_dict(raw: dict) -> "PipelineConfig":
+        sub = {
+            "camera": CameraConfig,
+            "orb": OrbConfig,
+            "matcher": MatcherConfig,
+            "ransac": RansacConfig,
+            "ekf": EkfConfig,
+            "loop": LoopClosureConfig,
+            "mapper": MapperConfig,
+            "detector": DetectorConfig,
+            "pose_graph": PoseGraphConfig,
+        }
+        kwargs = {}
+        for key, val in raw.items():
+            if key in sub:
+                val = sub[key](**{k: tuple(v) if isinstance(v, list) else v for k, v in val.items()})
+            kwargs[key] = val
+        return PipelineConfig(**kwargs)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)

@@ -1,0 +1,152 @@
+"""euroc_eval: offline full-pipeline evaluation on a EuRoC sequence.
+
+Parity: reference src/euroc_eval.cpp — runs VO + EKF + loop closure +
+pose graph + mapping over an ASL dataset, prints per-100-frame progress
+(FPS, map size, loop count), runs a final 50-iteration pose-graph
+optimization, reports ATE RMSE and RPE@10, and exports
+estimated_trajectory.txt (ts x y z), map.ply and trajectory.png.
+
+Usage:
+    python -m aria_slam_tpu.eval.euroc_eval <dataset_path> [--out DIR]
+        [--max-frames N] [--vo-only] [--no-loop] [--config cfg.yaml]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+
+import numpy as np
+
+from aria_slam_tpu.config import PipelineConfig
+from aria_slam_tpu.eval import metrics
+from aria_slam_tpu.io import euroc
+
+
+def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
+        config: PipelineConfig | None = None, verbose: bool = True) -> dict:
+    from aria_slam_tpu.pipeline.slam_pipeline import SlamPipeline
+
+    data = euroc.load(dataset_path)
+    config = config or PipelineConfig()
+    config = dataclasses.replace(config, camera=data.camera)
+    pipe = SlamPipeline(config)
+
+    n_frames = len(data.image_paths)
+    if max_frames:
+        n_frames = min(n_frames, max_frames)
+
+    t_start = time.perf_counter()
+    t_prev = -np.inf
+    frame_times = []
+    for k in range(n_frames):
+        ts = data.image_ts[k]
+        img = euroc.load_image(data.image_paths[k])
+        imu_t, imu_a, imu_g = euroc.imu_window(data, t_prev, ts)
+        for j in range(len(imu_t)):
+            pipe.process_imu(imu_t[j], imu_a[j], imu_g[j])
+        f0 = time.perf_counter()
+        pipe.process_frame(img, ts)
+        frame_times.append(time.perf_counter() - f0)
+        t_prev = ts
+
+        if verbose and (k + 1) % 100 == 0:
+            fps = (k + 1) / (time.perf_counter() - t_start)
+            print(
+                f"[{k + 1}/{n_frames}] fps={fps:.1f} "
+                f"map={int(pipe.state.map_state.count)} loops={pipe.num_loops}"
+            )
+
+    pipe.finalize()
+
+    est_ts = np.array([t for t, _ in pipe.trajectory])
+    est_pos = np.array([T[:3, 3] for _, T in pipe.trajectory])
+
+    # associate with ground truth by interpolation
+    gt_pos = []
+    keep = []
+    for i, t in enumerate(est_ts):
+        gt = euroc.interpolate_gt(data, t)
+        if gt is not None:
+            gt_pos.append(gt[0])
+            keep.append(i)
+    gt_pos = np.asarray(gt_pos)
+    est_kept = est_pos[keep] if keep else est_pos[:0]
+
+    ate = metrics.ate_rmse(est_kept, gt_pos) if len(gt_pos) else float("nan")
+    rpe = metrics.rpe_rmse(est_kept, gt_pos) if len(gt_pos) else float("nan")
+    mean_frame_ms = float(np.mean(frame_times[3:]) * 1000) if len(frame_times) > 3 else 0.0
+
+    os.makedirs(out_dir, exist_ok=True)
+    traj_path = os.path.join(out_dir, "estimated_trajectory.txt")
+    with open(traj_path, "w") as f:
+        for t, T in pipe.trajectory:
+            p = T[:3, 3]
+            f.write(f"{t:.9f} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+
+    map_points = pipe.export_map(
+        ply_path=os.path.join(out_dir, "map.ply"),
+        pcd_path=os.path.join(out_dir, "map.pcd"),
+    )
+
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(8, 6))
+        ax.plot(est_pos[:, 0], est_pos[:, 1], label="estimated")
+        if len(gt_pos):
+            ax.plot(gt_pos[:, 0], gt_pos[:, 1], label="ground truth", alpha=0.7)
+        ax.set_xlabel("x [m]")
+        ax.set_ylabel("y [m]")
+        ax.legend()
+        ax.set_title(f"ATE RMSE: {ate:.3f} m")
+        fig.savefig(os.path.join(out_dir, "trajectory.png"), dpi=100)
+        plt.close(fig)
+    except Exception as e:  # headless safety
+        if verbose:
+            print(f"trajectory.png skipped: {e}")
+
+    results = {
+        "frames": n_frames,
+        "avg_fps": n_frames / (time.perf_counter() - t_start),
+        "steady_frame_ms": mean_frame_ms,
+        "loops": pipe.num_loops,
+        "map_points": int(map_points),
+        "ate_rmse_m": ate,
+        "rpe_rmse_m": rpe,
+    }
+    if verbose:
+        print("==== results ====")
+        for k_, v in results.items():
+            print(f"  {k_}: {v}")
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("dataset", help="EuRoC sequence dir (contains mav0/)")
+    ap.add_argument("--out", default="euroc_out")
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--config", default=None, help="YAML config overrides")
+    ap.add_argument("--vo-only", action="store_true",
+                    help="disable fusion/loop/mapping (BASELINE config 1)")
+    ap.add_argument("--no-loop", action="store_true")
+    args = ap.parse_args()
+
+    cfg = PipelineConfig.from_yaml(args.config) if args.config else PipelineConfig()
+    if args.vo_only:
+        cfg = dataclasses.replace(
+            cfg, enable_fusion=False, enable_loop_closure=False, enable_mapping=False
+        )
+    if args.no_loop:
+        cfg = dataclasses.replace(cfg, enable_loop_closure=False)
+    run(args.dataset, args.out, args.max_frames, cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,251 @@
+"""15-state error-state EKF for visual-inertial fusion.
+
+Parity: reference SensorFusion (src/legacy/IMU.cpp:104-305,
+include/legacy/IMU.hpp:53-118). Same state layout
+[p(3), v(3), dtheta(3), b_a(3), b_g(3)], same F/G Jacobians, same
+Joseph-form update, same noise defaults, same dt gating (0 < dt <= 0.1 s),
+same init-from-first-visual-pose behavior.
+
+TPU design (SURVEY.md §3.3): predict/update are pure functions over an
+EkfState pytree; a frame step consumes a *padded* window of IMU samples
+via `lax.scan` with a validity mask, then applies the VO update — the
+whole 200 Hz / 30 Hz fusion is inside one jitted program. For offline
+runs, `run_sequence` scans over the entire measurement stream at once.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from aria_slam_tpu.config import EkfConfig
+from aria_slam_tpu.core import lie
+from aria_slam_tpu.core.types import EkfState
+
+
+def init_state(dtype=jnp.float32) -> EkfState:
+    """Parity: SensorFusion ctor P_ init (IMU.cpp:108-115)."""
+    p_diag = jnp.concatenate(
+        [
+            jnp.full((3,), 0.01),   # position
+            jnp.full((3,), 0.01),   # velocity
+            jnp.full((3,), 0.01),   # orientation
+            jnp.full((3,), 0.001),  # accel bias
+            jnp.full((3,), 0.0001), # gyro bias
+        ]
+    ).astype(dtype)
+    return EkfState(
+        pos=jnp.zeros(3, dtype),
+        vel=jnp.zeros(3, dtype),
+        quat=lie.quat_identity(dtype=dtype),
+        ba=jnp.zeros(3, dtype),
+        bg=jnp.zeros(3, dtype),
+        P=jnp.diag(p_diag),
+        last_imu_t=jnp.asarray(-1.0, dtype),
+        initialized=jnp.asarray(False),
+    )
+
+
+def process_noise(cfg: EkfConfig, dtype=jnp.float32) -> jnp.ndarray:
+    """12x12 Q: [accel noise, gyro noise, accel bias walk, gyro bias walk]
+    (IMU.cpp:117-121)."""
+    diag = jnp.concatenate(
+        [
+            jnp.full((3,), cfg.accel_noise**2),
+            jnp.full((3,), cfg.gyro_noise**2),
+            jnp.full((3,), cfg.accel_bias_walk**2),
+            jnp.full((3,), cfg.gyro_bias_walk**2),
+        ]
+    ).astype(dtype)
+    return jnp.diag(diag)
+
+
+def measurement_noise(cfg: EkfConfig, dtype=jnp.float32) -> jnp.ndarray:
+    diag = jnp.concatenate(
+        [jnp.full((3,), cfg.pos_noise**2), jnp.full((3,), cfg.rot_noise**2)]
+    ).astype(dtype)
+    return jnp.diag(diag)
+
+
+def predict(state: EkfState, t: jnp.ndarray, accel: jnp.ndarray, gyro: jnp.ndarray,
+            cfg: EkfConfig) -> EkfState:
+    """One IMU propagation step (parity: predictEKF, IMU.cpp:139-222).
+
+    Gated: no-op (except timestamp bookkeeping) if dt <= 0, dt > max_dt,
+    first sample, or filter not initialized.
+    """
+    dt = t - state.last_imu_t
+    first = state.last_imu_t < 0
+    ok = state.initialized & (~first) & (dt > 0) & (dt <= cfg.max_dt)
+    dt = jnp.where(ok, dt, 0.0)
+
+    g = jnp.asarray(cfg.gravity, state.pos.dtype)
+    a = accel - state.ba
+    w = gyro - state.bg
+    R = lie.quat_to_mat(state.quat)
+
+    # nominal state propagation (midpoint-free, matches reference)
+    dq = lie.so3_exp_quat(w * dt)
+    quat_new = lie.quat_normalize(lie.quat_mul(state.quat, dq))
+    a_world = R @ a + g
+    pos_new = state.pos + state.vel * dt + 0.5 * a_world * dt * dt
+    vel_new = state.vel + a_world * dt
+
+    # error-state Jacobians
+    eye3 = jnp.eye(3, dtype=state.P.dtype)
+    F = jnp.eye(15, dtype=state.P.dtype)
+    Ra = R @ lie.skew(a)
+    F = F.at[0:3, 3:6].set(eye3 * dt)
+    F = F.at[0:3, 6:9].set(-0.5 * Ra * dt * dt)
+    F = F.at[0:3, 9:12].set(-0.5 * R * dt * dt)
+    F = F.at[3:6, 6:9].set(-Ra * dt)
+    F = F.at[3:6, 9:12].set(-R * dt)
+    F = F.at[6:9, 12:15].set(-eye3 * dt)
+
+    G = jnp.zeros((15, 12), state.P.dtype)
+    G = G.at[0:3, 0:3].set(0.5 * R * dt * dt)
+    G = G.at[3:6, 0:3].set(R * dt)
+    G = G.at[6:9, 3:6].set(eye3 * dt)
+    G = G.at[9:12, 6:9].set(eye3 * dt)
+    G = G.at[12:15, 9:12].set(eye3 * dt)
+
+    Q = process_noise(cfg, state.P.dtype)
+    P_new = F @ state.P @ F.T + G @ Q @ G.T
+    P_new = 0.5 * (P_new + P_new.T)
+
+    return EkfState(
+        pos=jnp.where(ok, pos_new, state.pos),
+        vel=jnp.where(ok, vel_new, state.vel),
+        quat=jnp.where(ok, quat_new, state.quat),
+        ba=state.ba,
+        bg=state.bg,
+        P=jnp.where(ok, P_new, state.P),
+        last_imu_t=jnp.where(state.initialized, t, state.last_imu_t),
+        initialized=state.initialized,
+    )
+
+
+def update(state: EkfState, R_meas: jnp.ndarray, t_meas: jnp.ndarray,
+           timestamp: jnp.ndarray, cfg: EkfConfig,
+           meas_valid: jnp.ndarray | bool = True) -> EkfState:
+    """One visual-pose update (parity: addVisualPose/updateEKF,
+    IMU.cpp:224-305). First valid measurement initializes the state."""
+    meas_valid = jnp.asarray(meas_valid)
+
+    # --- initialization branch
+    q_meas = lie.mat_to_quat(R_meas)
+    do_init = meas_valid & (~state.initialized)
+
+    # --- EKF update branch
+    dtype = state.P.dtype
+    H = jnp.zeros((6, 15), dtype)
+    H = H.at[0:3, 0:3].set(jnp.eye(3, dtype=dtype))
+    H = H.at[3:6, 6:9].set(jnp.eye(3, dtype=dtype))
+
+    pos_innov = t_meas - state.pos
+    q_err = lie.quat_normalize(lie.quat_mul(q_meas, lie.quat_conj(state.quat)))
+    rot_innov = lie.so3_log_quat(q_err)
+    innov = jnp.concatenate([pos_innov, rot_innov])
+
+    Rm = measurement_noise(cfg, dtype)
+    S = H @ state.P @ H.T + Rm
+    K = state.P @ H.T @ jnp.linalg.inv(S)
+    dx = K @ innov
+
+    pos_u = state.pos + dx[0:3]
+    vel_u = state.vel + dx[3:6]
+    quat_u = lie.quat_normalize(lie.quat_mul(lie.so3_exp_quat(dx[6:9]), state.quat))
+    ba_u = state.ba + dx[9:12]
+    bg_u = state.bg + dx[12:15]
+
+    I_KH = jnp.eye(15, dtype=dtype) - K @ H
+    P_u = I_KH @ state.P @ I_KH.T + K @ Rm @ K.T
+    P_u = 0.5 * (P_u + P_u.T)
+
+    do_update = meas_valid & state.initialized
+
+    def pick(init_val, upd_val, keep_val):
+        return jnp.where(do_init, init_val, jnp.where(do_update, upd_val, keep_val))
+
+    return EkfState(
+        pos=pick(t_meas, pos_u, state.pos),
+        vel=pick(jnp.zeros(3, dtype), vel_u, state.vel),
+        quat=pick(q_meas, quat_u, state.quat),
+        ba=pick(state.ba, ba_u, state.ba),
+        bg=pick(state.bg, bg_u, state.bg),
+        P=pick(state.P, P_u, state.P),
+        last_imu_t=jnp.where(do_init, timestamp, state.last_imu_t),
+        initialized=state.initialized | do_init,
+    )
+
+
+def frame_step(state: EkfState, imu_t: jnp.ndarray, imu_accel: jnp.ndarray,
+               imu_gyro: jnp.ndarray, imu_valid: jnp.ndarray,
+               R_vo: jnp.ndarray, t_vo: jnp.ndarray, vo_valid: jnp.ndarray,
+               frame_t: jnp.ndarray, cfg: EkfConfig) -> EkfState:
+    """Online per-frame fusion: scan the padded IMU window (predict per
+    valid sample), then apply the VO update. This is the jitted 'fusion'
+    stage of the per-frame pipeline step (SURVEY.md §3.2)."""
+
+    def body(s, inp):
+        t, a, w, v = inp
+        s_pred = predict(s, t, a, w, cfg)
+        s = jax.tree_util.tree_map(lambda new, old: jnp.where(v, new, old), s_pred, s)
+        return s, None
+
+    state, _ = jax.lax.scan(body, state, (imu_t, imu_accel, imu_gyro, imu_valid))
+    return update(state, R_vo, t_vo, frame_t, cfg, vo_valid)
+
+
+def run_sequence(imu_t, imu_accel, imu_gyro, vo_t, vo_R, vo_t_pos, cfg: EkfConfig):
+    """Offline fusion over full streams: merge 200 Hz IMU and 30 Hz VO
+    into one time-sorted tagged stream and lax.scan it (SURVEY.md §3.3
+    'the lynchpin for the JAX design'). Returns the fused pose at every
+    VO timestamp.
+
+    imu_*: (M, ...), vo_*: (V, ...). All float32, times in seconds.
+    """
+    m = imu_t.shape[0]
+    v = vo_t.shape[0]
+    # build merged stream: tag 0 = IMU, 1 = VO
+    all_t = jnp.concatenate([imu_t, vo_t])
+    tags = jnp.concatenate([jnp.zeros(m, jnp.int32), jnp.ones(v, jnp.int32)])
+    payload_a = jnp.concatenate([imu_accel, vo_t_pos])  # (M+V, 3)
+    payload_w = jnp.concatenate([imu_gyro, jnp.zeros((v, 3), imu_gyro.dtype)])
+    payload_R = jnp.concatenate(
+        [jnp.tile(jnp.eye(3, dtype=vo_R.dtype)[None], (m, 1, 1)), vo_R]
+    )
+    vo_slot = jnp.concatenate([jnp.full(m, -1, jnp.int32), jnp.arange(v, dtype=jnp.int32)])
+
+    order = jnp.argsort(all_t, stable=True)
+    all_t = all_t[order]
+    tags = tags[order]
+    payload_a = payload_a[order]
+    payload_w = payload_w[order]
+    payload_R = payload_R[order]
+    vo_slot = vo_slot[order]
+
+    def body(s, inp):
+        t, tag, pa, pw, pR = inp
+        is_imu = tag == 0
+        s_imu = predict(s, t, pa, pw, cfg)
+        s_vo = update(s, pR, pa, t, cfg, True)
+        s = jax.tree_util.tree_map(
+            lambda a_, b_: jnp.where(is_imu, a_, b_), s_imu, s_vo
+        )
+        return s, (s.pos, s.quat)
+
+    state0 = init_state(imu_t.dtype)
+    _, (pos_hist, quat_hist) = jax.lax.scan(
+        body, state0, (all_t, tags, payload_a, payload_w, payload_R)
+    )
+    # fused pose right after each VO update: scatter VO rows into their
+    # slots (IMU rows carry vo_slot = -1 and are dropped)
+    is_vo = tags == 1
+    out_pos = jnp.zeros((v, 3), pos_hist.dtype).at[vo_slot].add(
+        jnp.where(is_vo[:, None], pos_hist, 0.0), mode="drop"
+    )
+    out_quat = jnp.zeros((v, 4), quat_hist.dtype).at[vo_slot].add(
+        jnp.where(is_vo[:, None], quat_hist, 0.0), mode="drop"
+    )
+    return out_pos, out_quat

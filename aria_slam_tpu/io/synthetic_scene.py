@@ -1,0 +1,185 @@
+"""Synthetic EuRoC-format sequence generator.
+
+Renders a camera moving in front of a large textured plane and writes a
+fully ASL-format dataset (mav0/cam0, imu0, state_groundtruth_estimate0,
+sensor.yaml) so euroc_eval and the integration tests can run end-to-end
+without the real EuRoC download (which the reference assumes on disk,
+SURVEY.md §4.2). Rendering uses an exact plane homography, so projected
+feature geometry is exactly consistent with the ground-truth trajectory;
+IMU is derived analytically from the same trajectory.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from aria_slam_tpu.config import CameraConfig
+
+
+def _texture(size=2048, seed=0):
+    rng = np.random.default_rng(seed)
+    tex = np.full((size, size), 90.0, np.float32)
+    for _ in range(1800):
+        y, x = rng.integers(0, size - 60, 2)
+        h, w = rng.integers(8, 60, 2)
+        tex[y : y + h, x : x + w] = rng.uniform(10, 245)
+    # a few gradients for texture richness
+    gy = np.linspace(0, 25, size, dtype=np.float32)
+    tex += gy[:, None]
+    tex += rng.normal(0, 3.0, tex.shape).astype(np.float32)
+    return np.clip(tex, 0, 255).astype(np.uint8)
+
+
+def _rot_z(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float64)
+
+
+def _rot_y(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float64)
+
+
+def trajectory(t, span=2.0, depth=4.0, loop=True):
+    """Smooth sweep in front of the plane (world frame: plane at z=depth,
+    camera starts at origin looking +z). Returns pos (…,3), R world-from-cam.
+
+    With loop=True the path is periodic, revisiting the start (exercises
+    loop closure).
+    """
+    t = np.asarray(t, np.float64)
+    w = 2 * np.pi / 20.0  # 20 s period
+    x = span * np.sin(w * t)
+    y = 0.35 * span * np.sin(2 * w * t)
+    z = 0.25 * np.sin(w * t)
+    pos = np.stack([x, y, z], -1)
+    yaw = 0.12 * np.sin(w * t)  # gentle panning
+    R = np.stack([_rot_y(a) for a in np.atleast_1d(yaw)], 0)
+    if np.isscalar(t) or t.ndim == 0:
+        return pos.reshape(3), R[0]
+    return pos, R
+
+
+def render_frame(cam: CameraConfig, tex: np.ndarray, pos, R_wc, depth=4.0,
+                 plane_half=8.0):
+    """Render the textured plane (z=depth, |x|,|y| <= plane_half) from the
+    camera via exact homography."""
+    import cv2
+
+    corners_world = np.array(
+        [
+            [-plane_half, -plane_half, depth],
+            [plane_half, -plane_half, depth],
+            [plane_half, plane_half, depth],
+            [-plane_half, plane_half, depth],
+        ]
+    )
+    R_cw = R_wc.T
+    t_cw = -R_cw @ np.asarray(pos)
+    K = cam.K.astype(np.float64)
+    pc = corners_world @ R_cw.T + t_cw
+    uv = (pc[:, :2] / pc[:, 2:3]) * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
+    size = tex.shape[0]
+    tex_corners = np.array([[0, 0], [size - 1, 0], [size - 1, size - 1], [0, size - 1]], np.float32)
+    H = cv2.getPerspectiveTransform(tex_corners, uv.astype(np.float32))
+    img = cv2.warpPerspective(
+        tex, H, (cam.width, cam.height), flags=cv2.INTER_LINEAR,
+        borderMode=cv2.BORDER_CONSTANT, borderValue=70,
+    )
+    return img
+
+
+def generate(
+    out_dir: str,
+    num_frames: int = 60,
+    fps: float = 10.0,
+    imu_hz: float = 200.0,
+    cam: CameraConfig | None = None,
+    seed: int = 0,
+    depth: float = 4.0,
+) -> str:
+    """Writes an ASL dataset under out_dir/mav0. Returns out_dir."""
+    import cv2
+
+    cam = cam or CameraConfig(k1=0.0, k2=0.0, p1=0.0, p2=0.0)  # no distortion
+    tex = _texture(seed=seed)
+    mav = os.path.join(out_dir, "mav0")
+    cam_data = os.path.join(mav, "cam0", "data")
+    os.makedirs(cam_data, exist_ok=True)
+    os.makedirs(os.path.join(mav, "imu0"), exist_ok=True)
+    os.makedirs(os.path.join(mav, "state_groundtruth_estimate0"), exist_ok=True)
+
+    t0_ns = 1_400_000_000_000_000_000  # EuRoC-style epoch ns
+
+    # --- camera frames
+    cam_rows = []
+    for k in range(num_frames):
+        t = k / fps
+        pos, R = trajectory(t, depth=depth)
+        img = render_frame(cam, tex, pos, R, depth=depth)
+        ts_ns = t0_ns + int(round(t * 1e9))
+        fname = f"{ts_ns}.png"
+        cv2.imwrite(os.path.join(cam_data, fname), img)
+        cam_rows.append(f"{ts_ns},{fname}")
+    with open(os.path.join(mav, "cam0", "data.csv"), "w") as f:
+        f.write("#timestamp [ns],filename\n")
+        f.write("\n".join(cam_rows) + "\n")
+
+    with open(os.path.join(mav, "cam0", "sensor.yaml"), "w") as f:
+        f.write(
+            "sensor_type: camera\n"
+            f"resolution: [{cam.width}, {cam.height}]\n"
+            "camera_model: pinhole\n"
+            f"intrinsics: [{cam.fx}, {cam.fy}, {cam.cx}, {cam.cy}]\n"
+            "distortion_model: radial-tangential\n"
+            f"distortion_coefficients: [{cam.k1}, {cam.k2}, {cam.p1}, {cam.p2}]\n"
+        )
+
+    # --- IMU (analytic specific force + body rates via finite differences
+    # on a dense grid, which is exact to O(dt^2) and avoids hand-deriving
+    # the trajectory's second derivatives)
+    duration = num_frames / fps
+    n_imu = int(duration * imu_hz)
+    ti = np.arange(1, n_imu + 1) / imu_hz
+    dt = 1e-4
+    pos_p, R_p = trajectory(ti - dt)
+    pos_c, R_c = trajectory(ti)
+    pos_n, R_n = trajectory(ti + dt)
+    acc_world = (pos_n - 2 * pos_c + pos_p) / dt**2
+    g = np.array([0.0, 0.0, -9.81])
+    f_world = acc_world - g
+    f_body = np.einsum("nji,nj->ni", R_c, f_world)  # R^T f
+    dR = np.einsum("nji,njk->nik", R_c, (R_n - R_p) / (2 * dt))  # R^T Rdot
+    gyro = np.stack([dR[:, 2, 1], dR[:, 0, 2], dR[:, 1, 0]], -1)
+
+    rng = np.random.default_rng(seed + 1)
+    f_body = f_body + rng.normal(0, 0.01, f_body.shape)
+    gyro = gyro + rng.normal(0, 0.001, gyro.shape)
+
+    with open(os.path.join(mav, "imu0", "data.csv"), "w") as f:
+        f.write("#timestamp [ns],w_x,w_y,w_z,a_x,a_y,a_z\n")
+        for k in range(n_imu):
+            ts_ns = t0_ns + int(round(ti[k] * 1e9))
+            f.write(
+                f"{ts_ns},{gyro[k,0]:.9f},{gyro[k,1]:.9f},{gyro[k,2]:.9f},"
+                f"{f_body[k,0]:.9f},{f_body[k,1]:.9f},{f_body[k,2]:.9f}\n"
+            )
+
+    # --- ground truth at IMU rate
+    from aria_slam_tpu.core import lie
+    import jax.numpy as jnp
+
+    quats = np.asarray(lie.mat_to_quat(jnp.asarray(R_c.astype(np.float32))))
+    with open(os.path.join(mav, "state_groundtruth_estimate0", "data.csv"), "w") as f:
+        f.write("#timestamp, p_x, p_y, p_z, q_w, q_x, q_y, q_z\n")
+        for k in range(n_imu):
+            ts_ns = t0_ns + int(round(ti[k] * 1e9))
+            p = pos_c[k]
+            q = quats[k]
+            f.write(
+                f"{ts_ns},{p[0]:.9f},{p[1]:.9f},{p[2]:.9f},"
+                f"{q[0]:.9f},{q[1]:.9f},{q[2]:.9f},{q[3]:.9f}\n"
+            )
+    return out_dir

@@ -1,0 +1,183 @@
+"""Essential-matrix RANSAC + pose recovery, fully batched on device.
+
+Parity: cv::findEssentialMat(RANSAC, prob=0.999, thresh=1.0px) +
+cv::recoverPose (reference src/main.cpp:187-191, src/euroc_eval.cpp:186-191).
+
+TPU design (SURVEY.md §7.3 item 2): OpenCV's sequential adaptive RANSAC
+becomes a fixed budget of `num_hypotheses` 8-point solves, vmapped so
+that hypothesis generation, Sampson scoring over all matches, and the
+winner reduction are one compiled program. The 9x9 normal-equation
+eigendecomposition and the 3x3 SVDs batch cleanly on device.
+
+Conventions: E satisfies x2^T E x1 = 0 for normalized image coords
+x = K^-1 [u, v, 1]^T; the recovered (R, t) place camera-2 relative to
+camera-1: X_cam2 = R @ X_cam1 + t, |t| = 1.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from aria_slam_tpu.config import RansacConfig
+from aria_slam_tpu.core.types import Matches, PoseDelta
+
+
+def normalize_points(uv: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
+    """Pixel (N, 2) -> normalized camera coords (N, 2)."""
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    return jnp.stack([(uv[:, 0] - cx) / fx, (uv[:, 1] - cy) / fy], -1)
+
+
+def _homog(p):
+    return jnp.concatenate([p, jnp.ones_like(p[..., :1])], -1)
+
+
+def eight_point(p1: jnp.ndarray, p2: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Weighted 8-point estimate of E from normalized coords.
+
+    p1, p2: (N, 2); w: (N,) weights (0/1 mask or soft). Returns (3, 3) E
+    with singular values projected to (1, 1, 0).
+    """
+    x1, y1 = p1[:, 0], p1[:, 1]
+    x2, y2 = p2[:, 0], p2[:, 1]
+    ones = jnp.ones_like(x1)
+    # row: [x2x1, x2y1, x2, y2x1, y2y1, y2, x1, y1, 1]
+    A = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones], -1)
+    AtA = (A * w[:, None]).T @ A  # (9, 9)
+    # smallest eigenvector of the symmetric normal matrix
+    _, vecs = jnp.linalg.eigh(AtA)
+    e = vecs[:, 0]
+    E = e.reshape(3, 3)
+    # project to the essential manifold
+    U, S, Vt = jnp.linalg.svd(E)
+    S_proj = jnp.array([1.0, 1.0, 0.0], E.dtype)
+    return (U * S_proj[None, :]) @ Vt
+
+
+def sampson_error(E: jnp.ndarray, p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
+    """Squared Sampson distance (N,) in normalized coords."""
+    x1 = _homog(p1)  # (N, 3)
+    x2 = _homog(p2)
+    Ex1 = x1 @ E.T       # (N, 3) = E @ x1
+    Etx2 = x2 @ E        # (N, 3) = E^T @ x2
+    num = jnp.sum(x2 * Ex1, -1) ** 2
+    den = Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2
+    return num / jnp.maximum(den, 1e-12)
+
+
+def _sample_indices(key, valid, num_hypotheses, sample_size):
+    """(H, S) indices drawn from valid matches (with replacement across
+    hypotheses; degenerate duplicate draws within a sample just yield a
+    weak hypothesis that loses the inlier vote)."""
+    logits = jnp.where(valid, 0.0, -1e30)
+    keys = jax.random.split(key, num_hypotheses)
+    return jax.vmap(
+        lambda k: jax.random.categorical(k, logits, shape=(sample_size,))
+    )(keys)
+
+
+def triangulate_depths(R, t, p1, p2):
+    """Two-view depths for cheirality. p1, p2 normalized (N, 2).
+
+    For x2 ~ R x1 + t (rays f1 = [p1, 1], f2 = [p2, 1]):
+        z1 * (R f1) x f2 = - t x f2  ->  z1 = <c2, c1> / |c1|^2
+    with c1 = cross(R f1, f2), c2 = cross(f2, t); z2 from the transport.
+    Returns (z1, z2), each (N,).
+    """
+    f1 = _homog(p1)
+    f2 = _homog(p2)
+    Rf1 = f1 @ R.T
+    c1 = jnp.cross(Rf1, f2)
+    c2 = jnp.cross(f2, jnp.broadcast_to(t, f2.shape))
+    z1 = jnp.sum(c1 * c2, -1) / jnp.maximum(jnp.sum(c1 * c1, -1), 1e-12)
+    pt2 = z1[:, None] * Rf1 + t[None, :]
+    z2 = pt2[:, 2]
+    return z1, z2
+
+
+def decompose_essential(E: jnp.ndarray):
+    """E -> (R1, R2, t) candidate factors with proper rotations."""
+    U, _, Vt = jnp.linalg.svd(E)
+    # force proper rotations
+    U = U * jnp.sign(jnp.linalg.det(U))
+    Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
+    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
+    R1 = U @ W @ Vt
+    R2 = U @ W.T @ Vt
+    t = U[:, 2]
+    return R1, R2, t
+
+
+def recover_pose(E, p1, p2, weights):
+    """Pick the (R, t) chirality candidate with most points in front of
+    both cameras (parity: cv::recoverPose). weights: (N,) inlier mask."""
+    R1, R2, t = decompose_essential(E)
+    cands_R = jnp.stack([R1, R1, R2, R2])
+    cands_t = jnp.stack([t, -t, t, -t])
+
+    def count_front(R, tt):
+        z1, z2 = triangulate_depths(R, tt, p1, p2)
+        return jnp.sum(((z1 > 0) & (z2 > 0)).astype(jnp.float32) * weights)
+
+    counts = jax.vmap(count_front)(cands_R, cands_t)
+    best = jnp.argmax(counts)
+    return cands_R[best], cands_t[best], counts[best]
+
+
+def estimate_relative_pose(
+    xy1: jnp.ndarray,
+    xy2: jnp.ndarray,
+    valid: jnp.ndarray,
+    K: jnp.ndarray,
+    cfg: RansacConfig,
+    key: jax.Array,
+) -> PoseDelta:
+    """Full RANSAC pipeline over padded correspondences.
+
+    xy1, xy2: (N, 2) matched pixel coords (slot i of frame1 matches slot
+    i of frame2); valid: (N,) mask.
+    """
+    p1 = normalize_points(xy1, K)
+    p2 = normalize_points(xy2, K)
+    n = p1.shape[0]
+    focal = 0.5 * (K[0, 0] + K[1, 1])
+    thresh_sq = (cfg.inlier_threshold_px / focal) ** 2
+    validf = valid.astype(jnp.float32)
+
+    idx = _sample_indices(key, valid, cfg.num_hypotheses, cfg.sample_size)  # (H, S)
+
+    def solve_one(sample_idx):
+        sp1 = p1[sample_idx]
+        sp2 = p2[sample_idx]
+        return eight_point(sp1, sp2, jnp.ones(cfg.sample_size, p1.dtype))
+
+    Es = jax.vmap(solve_one)(idx)  # (H, 3, 3)
+    errs = jax.vmap(lambda E: sampson_error(E, p1, p2))(Es)  # (H, N)
+    inl = (errs < thresh_sq).astype(jnp.float32) * validf[None, :]
+    scores = jnp.sum(inl, -1)  # (H,)
+    best_h = jnp.argmax(scores)
+    E_best = Es[best_h]
+    inlier_mask = inl[best_h] > 0
+
+    if cfg.refine:
+        E_ref = eight_point(p1, p2, inlier_mask.astype(p1.dtype))
+        errs_ref = sampson_error(E_ref, p1, p2)
+        inl_ref = (errs_ref < thresh_sq) & valid
+        better = jnp.sum(inl_ref) >= jnp.sum(inlier_mask)
+        E_best = jnp.where(better, E_ref, E_best)
+        inlier_mask = jnp.where(better, inl_ref, inlier_mask)
+
+    R, t, front = recover_pose(E_best, p1, p2, inlier_mask.astype(p1.dtype))
+    num_inliers = jnp.sum(inlier_mask.astype(jnp.int32))
+    success = (num_inliers > cfg.min_inliers) & (front > 0.5 * num_inliers)
+    return PoseDelta(
+        R=R, t=t, num_inliers=num_inliers, inlier_mask=inlier_mask, success=success
+    )
+
+
+def gather_correspondences(f1_xy, f2_xy, matches: Matches):
+    """Matches -> aligned (N, 2) coordinate arrays + mask."""
+    xy1 = f1_xy[matches.query_idx]
+    xy2 = f2_xy[matches.train_idx]
+    return xy1, xy2, matches.valid

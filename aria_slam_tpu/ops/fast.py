@@ -1,0 +1,126 @@
+"""Dense FAST-9/16 corner detection + Harris ranking, TPU-style.
+
+Parity: cv::cuda::ORB's FAST detector with Harris scoring
+(reference src/adapters/gpu/OrbCudaExtractor.cpp:35-45:
+HARRIS_SCORE, fastThreshold=20, edgeThreshold=31).
+
+Design (SURVEY.md §7.3 item 1): instead of the GPU's sparse
+compact-then-process flow, everything is *dense* over the image —
+16 shifted views of the frame give each pixel its Bresenham ring, the
+segment test and scores are a fixed cascade of VPU mask ops, 3x3 NMS is
+a reduce_window, and the final sparse selection is one `top_k` over the
+masked Harris response. No data-dependent shapes anywhere.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from aria_slam_tpu.ops.pyramid import sobel_gradients
+
+# Bresenham circle of radius 3, (dx, dy), clockwise from 12 o'clock.
+FAST_RING = (
+    (0, -3), (1, -3), (2, -2), (3, -1),
+    (3, 0), (3, 1), (2, 2), (1, 3),
+    (0, 3), (-1, 3), (-2, 2), (-3, 1),
+    (-3, 0), (-3, -1), (-2, -2), (-1, -3),
+)
+
+ARC_LEN = 9  # FAST-9
+
+
+def _ring_views(img: jnp.ndarray) -> jnp.ndarray:
+    """(H, W) -> (16, H, W): value of each ring pixel for every center."""
+    h, w = img.shape
+    p = jnp.pad(img, 3, mode="edge")
+    views = [p[3 + dy : 3 + dy + h, 3 + dx : 3 + dx + w] for (dx, dy) in FAST_RING]
+    return jnp.stack(views, 0)
+
+
+def fast_score_map(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """Dense FAST-9 corner score. 0 where not a corner.
+
+    Score = the largest margin m such that some 9-long contiguous arc is
+    uniformly brighter (or darker) than center by more than threshold;
+    equivalently max over arcs of (min |diff| in arc) - threshold.
+    """
+    ring = _ring_views(img)  # (16, H, W)
+    diff = ring - img[None]
+    # circular extension for contiguous-arc windows
+    dext = jnp.concatenate([diff, diff[: ARC_LEN - 1]], 0)  # (24, H, W)
+
+    # min over each window of 9 for bright (diff) and dark (-diff)
+    def window_min(x):
+        m = x[:16]
+        for i in range(1, ARC_LEN):
+            m = jnp.minimum(m, x[i : i + 16])
+        return m  # (16, H, W): per-start-position arc minimum
+
+    bright = window_min(dext)          # arc min of (ring - center)
+    dark = window_min(-dext)           # arc min of (center - ring)
+    bright_best = jnp.max(bright, 0)   # best arc margin
+    dark_best = jnp.max(dark, 0)
+    score = jnp.maximum(bright_best, dark_best) - threshold
+    return jnp.maximum(score, 0.0)
+
+
+def harris_response(img: jnp.ndarray, block_size: int = 7, k: float = 0.04) -> jnp.ndarray:
+    """Dense Harris corner response (det - k*tr^2 of the structure tensor)."""
+    ix, iy = sobel_gradients(img)
+    ixx, iyy, ixy = ix * ix, iy * iy, ix * iy
+
+    def box(x):
+        return jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, (block_size, block_size), (1, 1), "SAME"
+        )
+
+    sxx, syy, sxy = box(ixx), box(iyy), box(ixy)
+    det = sxx * syy - sxy * sxy
+    tr = sxx + syy
+    # scale like OpenCV (1/255 per derivative step isn't applied there either;
+    # only relative order matters for ranking)
+    return det - k * tr * tr
+
+
+def nms_3x3(score: jnp.ndarray) -> jnp.ndarray:
+    """Keep only local maxima in 3x3 neighborhoods."""
+    pooled = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+    )
+    return jnp.where((score >= pooled) & (score > 0.0), score, 0.0)
+
+
+def detect_level(
+    img: jnp.ndarray,
+    threshold: float,
+    top_k: int,
+    border: int,
+    harris_block: int = 7,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """FAST corners on one pyramid level, ranked by Harris response.
+
+    Returns (xy (K,2) float32 level coords, response (K,), valid (K,)).
+    """
+    h, w = img.shape
+    score = nms_3x3(fast_score_map(img, threshold))
+    harris = harris_response(img, harris_block)
+
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    in_border = (
+        (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
+    )
+    corner = (score > 0.0) & in_border
+    # rank corners by Harris response; shift so that any corner beats any
+    # non-corner sentinel
+    rank = jnp.where(corner, harris, -jnp.inf)
+    flat = rank.reshape(-1)
+    vals, idx = jax.lax.top_k(flat, top_k)
+    yx = jnp.stack([idx // w, idx % w], -1)
+    xy = jnp.stack([yx[:, 1], yx[:, 0]], -1).astype(jnp.float32)
+    valid = jnp.isfinite(vals)
+    response = jnp.where(valid, vals, 0.0)
+    return xy, response, valid

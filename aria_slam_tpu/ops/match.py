@@ -1,0 +1,114 @@
+"""Brute-force Hamming matching on the MXU.
+
+Parity: cv::cuda::DescriptorMatcher BF-Hamming kNN(k=2) + Lowe ratio
+test (reference src/main.cpp:158-175, ratio 0.75 tracking / 0.7 loop
+closure, src/legacy/LoopClosure.cpp:92).
+
+The trick (SURVEY.md §2.1, BASELINE.json north star): with bits stored
+as {0,1} int8 vectors a, b of length 256,
+
+    hamming(a, b) = popcount(a) + popcount(b) - 2 * a . b
+
+so the full K x K distance matrix is ONE int8 matmul on the systolic
+array plus rank-1 corrections — the entire brute-force match is
+matmul-shaped. Top-2 selection + ratio test fuse into the same program.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from aria_slam_tpu.core.types import Features, Matches
+
+_BIG = jnp.int32(1 << 20)
+
+
+def hamming_matrix(
+    desc_q: jnp.ndarray, desc_t: jnp.ndarray, valid_t: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """(Kq, B) x (Kt, B) {0,1} int8 -> (Kq, Kt) int32 Hamming distances.
+
+    Invalid train columns get a large sentinel distance.
+    """
+    dots = jax.lax.dot_general(
+        desc_q,
+        desc_t,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )  # (Kq, Kt)
+    pop_q = jnp.sum(desc_q.astype(jnp.int32), axis=1)  # (Kq,)
+    pop_t = jnp.sum(desc_t.astype(jnp.int32), axis=1)  # (Kt,)
+    dist = pop_q[:, None] + pop_t[None, :] - 2 * dots
+    if valid_t is not None:
+        dist = jnp.where(valid_t[None, :], dist, _BIG)
+    return dist
+
+
+def match(
+    query: Features,
+    train: Features,
+    ratio: float = 0.75,
+    cross_check: bool = False,
+) -> Matches:
+    """kNN(k=2) + ratio test over padded feature sets."""
+    dist = hamming_matrix(query.desc, train.desc, train.valid)  # (Kq, Kt)
+    # top-2 smallest distances
+    neg_top2, idx_top2 = jax.lax.top_k(-dist, 2)
+    best = -neg_top2[:, 0]
+    second = -neg_top2[:, 1]
+    best_idx = idx_top2[:, 0]
+
+    ok = (
+        query.valid
+        & (best.astype(jnp.float32) < ratio * second.astype(jnp.float32))
+        & (best < _BIG)
+    )
+    if cross_check:
+        # train's best query must be this query (mutual nearest)
+        train_best_q = jnp.argmin(
+            jnp.where(query.valid[:, None], dist, _BIG), axis=0
+        )  # (Kt,)
+        kq = query.desc.shape[0]
+        mutual = train_best_q[best_idx] == jnp.arange(kq)
+        ok = ok & mutual
+
+    return Matches(
+        query_idx=jnp.arange(query.desc.shape[0], dtype=jnp.int32),
+        train_idx=best_idx.astype(jnp.int32),
+        distance=best.astype(jnp.float32),
+        valid=ok,
+    )
+
+
+def match_scores_vs_database(
+    desc_q: jnp.ndarray,
+    valid_q: jnp.ndarray,
+    db_desc: jnp.ndarray,
+    db_valid: jnp.ndarray,
+    ratio: float = 0.7,
+) -> jnp.ndarray:
+    """Loop-closure place-recognition scores: one query frame vs the whole
+    keyframe database in a single fused pass (the H14 GPU batch-matcher
+    design done as one MXU matmul; reference
+    docs/milestones/H14_GPU_LOOPCLOSURE_AUDIT.md via SURVEY.md row 22).
+
+    desc_q: (F, B) int8; db_desc: (N, F, B) int8; db_valid: (N, F) bool.
+    Returns (N,) float32 score = (#ratio-test survivors) / (#valid query kps)
+    (reference score definition: src/legacy/LoopClosure.cpp:72-114).
+    """
+    n, f, b = db_desc.shape
+    flat = db_desc.reshape(n * f, b)
+    dist = hamming_matrix(desc_q, flat, db_valid.reshape(n * f))  # (F, N*F)
+    dist = dist.reshape(desc_q.shape[0], n, f)  # (F_q, N, F_t)
+    # top-2 per (query kp, keyframe)
+    neg_top2, _ = jax.lax.top_k(-dist, 2)  # (F_q, N, 2)
+    best = -neg_top2[..., 0]
+    second = -neg_top2[..., 1]
+    good = (
+        valid_q[:, None]
+        & (best.astype(jnp.float32) < ratio * second.astype(jnp.float32))
+        & (best < _BIG)
+    )
+    num_q = jnp.maximum(jnp.sum(valid_q.astype(jnp.float32)), 1.0)
+    return jnp.sum(good.astype(jnp.float32), axis=0) / num_q  # (N,)

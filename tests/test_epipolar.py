@@ -1,0 +1,114 @@
+"""Essential-matrix RANSAC vs synthetic geometry and OpenCV oracle."""
+
+import numpy as np
+import cv2
+import jax
+import jax.numpy as jnp
+
+from aria_slam_tpu.config import RansacConfig
+from aria_slam_tpu.core import lie
+from aria_slam_tpu.ops import epipolar as E
+
+K = np.array([[458.0, 0, 376.0], [0, 457.0, 240.0], [0, 0, 1.0]], np.float32)
+
+
+def synthetic_two_view(seed=0, n=200, outlier_frac=0.3, noise_px=0.3):
+    """Random 3D points seen by two cameras with known relative motion."""
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform([-4, -3, 4], [4, 3, 12], size=(n, 3))
+    rotvec = np.array([0.02, -0.05, 0.01])
+    R = lie.so3_exp(jnp.asarray(rotvec, jnp.float32))
+    R = np.asarray(R)
+    t = np.array([0.3, -0.05, 0.1])
+    t = t / np.linalg.norm(t)
+
+    def project(X, Rw, tw):
+        Xc = X @ Rw.T + tw
+        uv = Xc[:, :2] / Xc[:, 2:3]
+        return uv * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
+
+    uv1 = project(pts, np.eye(3), np.zeros(3))
+    uv2 = project(pts, R, t)
+    uv1 += rng.normal(0, noise_px, uv1.shape)
+    uv2 += rng.normal(0, noise_px, uv2.shape)
+
+    n_out = int(n * outlier_frac)
+    out_idx = rng.choice(n, n_out, replace=False)
+    uv2[out_idx] = rng.uniform([0, 0], [752, 480], size=(n_out, 2))
+    inlier_gt = np.ones(n, bool)
+    inlier_gt[out_idx] = False
+    return uv1.astype(np.float32), uv2.astype(np.float32), R, t, inlier_gt
+
+
+def rot_err_deg(Ra, Rb):
+    cos = (np.trace(Ra.T @ Rb) - 1) / 2
+    return np.degrees(np.arccos(np.clip(cos, -1, 1)))
+
+
+def test_eight_point_noise_free():
+    uv1, uv2, R_gt, t_gt, _ = synthetic_two_view(0, n=100, outlier_frac=0.0, noise_px=0.0)
+    p1 = E.normalize_points(jnp.asarray(uv1), jnp.asarray(K))
+    p2 = E.normalize_points(jnp.asarray(uv2), jnp.asarray(K))
+    Em = E.eight_point(p1, p2, jnp.ones(100, jnp.float32))
+    err = np.asarray(E.sampson_error(Em, p1, p2))
+    assert np.median(err) < 1e-9
+
+
+def test_ransac_recovers_motion_with_outliers():
+    uv1, uv2, R_gt, t_gt, inlier_gt = synthetic_two_view(1)
+    cfg = RansacConfig(num_hypotheses=256)
+    delta = jax.jit(
+        lambda a, b, v, k: E.estimate_relative_pose(a, b, v, jnp.asarray(K), cfg, k)
+    )(jnp.asarray(uv1), jnp.asarray(uv2), jnp.ones(len(uv1), bool), jax.random.key(0))
+
+    assert bool(delta.success)
+    R = np.asarray(delta.R)
+    t = np.asarray(delta.t)
+    assert rot_err_deg(R, R_gt) < 0.5, f"rotation error {rot_err_deg(R, R_gt):.3f} deg"
+    t_err = np.degrees(np.arccos(np.clip(abs(t @ t_gt), -1, 1)))
+    assert t_err < 2.0, f"translation direction error {t_err:.2f} deg"
+    # inlier classification should mostly agree with ground truth
+    mask = np.asarray(delta.inlier_mask)
+    agree = (mask == inlier_gt).mean()
+    assert agree > 0.9, f"inlier agreement {agree:.2f}"
+
+
+def test_ransac_comparable_to_opencv():
+    uv1, uv2, R_gt, t_gt, _ = synthetic_two_view(2)
+    cfg = RansacConfig(num_hypotheses=256)
+    delta = E.estimate_relative_pose(
+        jnp.asarray(uv1), jnp.asarray(uv2), jnp.ones(len(uv1), bool),
+        jnp.asarray(K), cfg, jax.random.key(1),
+    )
+    E_cv, _ = cv2.findEssentialMat(
+        uv1, uv2, K.astype(np.float64), method=cv2.RANSAC, prob=0.999, threshold=1.0
+    ), None
+    E_cv = E_cv[0] if isinstance(E_cv, tuple) else E_cv
+    _, R_cv, t_cv, _ = cv2.recoverPose(E_cv[:3], uv1, uv2, K.astype(np.float64))
+
+    ours = rot_err_deg(np.asarray(delta.R), R_gt)
+    cvs = rot_err_deg(R_cv, R_gt)
+    # we should be in the same accuracy class as OpenCV (within 3x or <0.5deg)
+    assert ours < max(3 * cvs, 0.5), f"ours {ours:.3f} vs opencv {cvs:.3f}"
+
+
+def test_cheirality_picks_correct_candidate():
+    uv1, uv2, R_gt, t_gt, _ = synthetic_two_view(3, outlier_frac=0.0, noise_px=0.1)
+    p1 = E.normalize_points(jnp.asarray(uv1), jnp.asarray(K))
+    p2 = E.normalize_points(jnp.asarray(uv2), jnp.asarray(K))
+    Em = E.eight_point(p1, p2, jnp.ones(len(uv1), jnp.float32))
+    R, t, front = E.recover_pose(Em, p1, p2, jnp.ones(len(uv1), jnp.float32))
+    assert rot_err_deg(np.asarray(R), R_gt) < 0.5
+    assert np.asarray(t) @ t_gt > 0.99
+    assert float(front) > 0.95 * len(uv1)
+
+
+def test_degenerate_input_does_not_crash():
+    """All-invalid matches must produce success=False, not NaNs/crashes."""
+    cfg = RansacConfig()
+    uv = jnp.zeros((100, 2), jnp.float32)
+    delta = E.estimate_relative_pose(
+        uv, uv, jnp.zeros(100, bool), jnp.asarray(K), cfg, jax.random.key(2)
+    )
+    assert not bool(delta.success)
+    assert np.isfinite(np.asarray(delta.R)).all()

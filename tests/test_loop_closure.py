@@ -1,0 +1,96 @@
+"""Loop-closure detector over the device-resident keyframe DB."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from aria_slam_tpu.config import LoopClosureConfig, OrbConfig, RansacConfig
+from aria_slam_tpu.backend import keyframe_db, loop_closure
+from aria_slam_tpu.core.types import Features
+
+K = jnp.asarray(np.array([[458.0, 0, 376.0], [0, 457.0, 240.0], [0, 0, 1.0]], np.float32))
+ORB = OrbConfig(num_features=256)
+LC = LoopClosureConfig(max_keyframes=32, min_frames_between=10, min_score=0.3, min_matches=30)
+RS = RansacConfig(num_hypotheses=128)
+
+
+def make_frame(seed, n=256, scene=None):
+    """Synthetic 'frame': random 3D scene projected to pixels + random
+    descriptors. Same scene + same descriptors = revisited place."""
+    rng = np.random.default_rng(seed)
+    if scene is None:
+        scene = rng.uniform([-4, -3, 4], [4, 3, 12], size=(n, 3))
+    desc = rng.integers(0, 2, size=(n, 256)).astype(np.int8)
+    uv = scene[:, :2] / scene[:, 2:3]
+    uv = uv * [458.0, 457.0] + [376.0, 240.0]
+    return Features(
+        xy=jnp.asarray(uv.astype(np.float32)),
+        response=jnp.ones((n,), jnp.float32),
+        angle=jnp.zeros((n,), jnp.float32),
+        octave=jnp.zeros((n,), jnp.int32),
+        size=jnp.full((n,), 31.0, jnp.float32),
+        desc=jnp.asarray(desc),
+        valid=jnp.ones((n,), bool),
+    ), scene, desc
+
+
+def revisit(feats, scene, desc, shift, flip_frac=0.02, seed=99):
+    """Same place seen again: slightly moved camera, slightly noisy bits."""
+    rng = np.random.default_rng(seed)
+    moved = scene + np.asarray(shift)
+    uv = moved[:, :2] / moved[:, 2:3]
+    uv = uv * [458.0, 457.0] + [376.0, 240.0]
+    d = desc.copy()
+    mask = rng.random(d.shape) < flip_frac
+    d[mask] ^= 1
+    return feats.replace(xy=jnp.asarray(uv.astype(np.float32)), desc=jnp.asarray(d))
+
+
+def test_detects_revisited_place():
+    db = keyframe_db.init_db(LC, ORB)
+    f0, scene, desc = make_frame(0)
+    db = keyframe_db.add_keyframe(db, f0, 0, jnp.eye(4))
+    for fid in range(1, 6):
+        f, _, _ = make_frame(fid)
+        db = keyframe_db.add_keyframe(db, f, fid, jnp.eye(4))
+
+    query = revisit(f0, scene, desc, shift=[0.3, 0.0, 0.1])
+    res = jax.jit(
+        lambda d, q: loop_closure.detect(d, q, 50, K, LC, RS, jax.random.key(0))
+    )(db, query)
+    assert bool(res.detected)
+    assert int(res.frame_id) == 0
+    assert int(res.num_inliers) >= LC.min_matches
+    assert float(res.score) > 0.5
+
+
+def test_no_detection_for_new_place():
+    db = keyframe_db.init_db(LC, ORB)
+    for fid in range(6):
+        f, _, _ = make_frame(fid)
+        db = keyframe_db.add_keyframe(db, f, fid, jnp.eye(4))
+    novel, _, _ = make_frame(777)
+    res = loop_closure.detect(db, novel, 50, K, LC, RS, jax.random.key(1))
+    assert not bool(res.detected)
+
+
+def test_frame_gap_gate():
+    """A revisit too soon after insertion must be rejected
+    (parity: min_frames_between, LoopClosure.cpp:41-47)."""
+    db = keyframe_db.init_db(LC, ORB)
+    f0, scene, desc = make_frame(10)
+    db = keyframe_db.add_keyframe(db, f0, 45, jnp.eye(4))
+    query = revisit(f0, scene, desc, shift=[0.2, 0, 0])
+    res = loop_closure.detect(db, query, 50, K, LC, RS, jax.random.key(2))  # gap 5 < 10
+    assert not bool(res.detected)
+
+
+def test_ring_buffer_eviction():
+    small = LoopClosureConfig(max_keyframes=4)
+    db = keyframe_db.init_db(small, ORB)
+    for fid in range(6):
+        f, _, _ = make_frame(fid)
+        db = keyframe_db.add_keyframe(db, f, fid, jnp.eye(4))
+    ids = np.asarray(db.frame_id)
+    assert int(db.size) == 4
+    assert set(ids.tolist()) == {2, 3, 4, 5}

@@ -1,0 +1,86 @@
+"""End-to-end pipeline integration on mock features and on rendered
+synthetic scenes (the TPU analogue of the reference's euroc_eval
+integration testing, SURVEY.md §4.2)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from aria_slam_tpu.config import (
+    CameraConfig, EkfConfig, LoopClosureConfig, MapperConfig, OrbConfig,
+    PipelineConfig, PoseGraphConfig, RansacConfig,
+)
+
+SMALL_CAM = CameraConfig(width=320, height=240, fx=200.0, fy=200.0,
+                         cx=160.0, cy=120.0, k1=0.0, k2=0.0, p1=0.0, p2=0.0)
+
+SMALL_CFG = PipelineConfig(
+    camera=SMALL_CAM,
+    orb=OrbConfig(num_features=384, num_levels=3),
+    ransac=RansacConfig(num_hypotheses=128),
+    loop=LoopClosureConfig(max_keyframes=32, min_frames_between=8,
+                           min_score=0.35, min_matches=40),
+    mapper=MapperConfig(max_points=20000),
+    pose_graph=PoseGraphConfig(max_nodes=64, max_edges=128,
+                               lm_iterations=5, cg_iterations=24),
+    enable_loop_closure=False,
+    enable_detection=False,
+)
+
+
+def test_mock_pipeline_runs():
+    from aria_slam_tpu.pipeline import factory
+
+    pipe = factory.create_mock(SMALL_CFG)
+    rng = np.random.default_rng(0)
+    for k in range(4):
+        img = rng.uniform(0, 255, (240, 320)).astype(np.float32)
+        pose = pipe.process_frame(img, k * 0.1)
+        assert pose.shape == (4, 4)
+        assert np.isfinite(pose).all()
+    assert len(pipe.trajectory) == 4
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    from aria_slam_tpu.io import synthetic_scene
+
+    out = tmp_path_factory.mktemp("scene")
+    synthetic_scene.generate(str(out), num_frames=12, fps=5.0, cam=SMALL_CAM,
+                             depth=4.0)
+    return str(out)
+
+
+def test_vo_on_synthetic_scene(scene_dir):
+    """Monocular VO on a rendered scene: per-frame motion direction must
+    roughly agree with ground truth (the minimum end-to-end slice,
+    SURVEY.md §7.2 step 4)."""
+    from aria_slam_tpu.eval import euroc_eval, metrics
+    from aria_slam_tpu.io import euroc
+
+    cfg = dataclasses.replace(SMALL_CFG, enable_fusion=False,
+                              enable_mapping=False)
+    res = euroc_eval.run(scene_dir, out_dir="/tmp/vo_out", config=cfg,
+                         verbose=False)
+    assert res["frames"] == 12
+    # monocular scale-aligned ATE on a 2 m sweep should be decent
+    assert np.isfinite(res["ate_rmse_m"])
+    assert res["ate_rmse_m"] < 0.5, f"ATE {res['ate_rmse_m']:.3f} m"
+
+    import os
+    assert os.path.exists("/tmp/vo_out/estimated_trajectory.txt")
+    assert os.path.exists("/tmp/vo_out/map.ply")
+
+
+def test_full_pipeline_on_synthetic_scene(scene_dir):
+    """VIO + mapping + loop closure enabled: must run end-to-end and
+    produce a map."""
+    from aria_slam_tpu.eval import euroc_eval
+
+    cfg = dataclasses.replace(SMALL_CFG, enable_loop_closure=True)
+    res = euroc_eval.run(scene_dir, out_dir="/tmp/full_out", config=cfg,
+                         verbose=False)
+    assert res["frames"] == 12
+    assert res["map_points"] > 50, f"map too sparse: {res['map_points']}"
+    assert np.isfinite(res["ate_rmse_m"])
