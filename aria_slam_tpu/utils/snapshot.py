@@ -16,12 +16,13 @@ import jax.numpy as jnp
 def save_state(state, path: str) -> None:
     """Serialize any pytree of arrays (e.g. pipeline FrameState)."""
     leaves, treedef = jax.tree_util.tree_flatten(state)
-    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
-    # PRNG keys need raw-data form
+    arrays = {}
     for i, x in enumerate(leaves):
         if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
             arrays[f"leaf_{i}"] = np.asarray(jax.random.key_data(x))
             arrays[f"iskey_{i}"] = np.asarray(True)
+        else:
+            arrays[f"leaf_{i}"] = np.asarray(x)
     np.savez_compressed(path, **arrays)
 
 

@@ -15,6 +15,13 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# The axon sitecustomize force-registers the TPU backend and clobbers
+# JAX_PLATFORMS; the config route wins over both. Must happen before the
+# first backend touch.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
