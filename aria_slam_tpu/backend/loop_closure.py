@@ -49,11 +49,13 @@ def _match_against_slot(feats: Features, db: KeyframeDB, slot, ratio):
     cand_valid = db.desc_valid[slot]
     cand_xy = db.xy[slot]
     dist = hamming_matrix(feats.desc, cand_desc, cand_valid)
-    neg2, idx2 = jax.lax.top_k(-dist, 2)
-    best = (-neg2[:, 0]).astype(jnp.float32)
-    second = (-neg2[:, 1]).astype(jnp.float32)
+    from aria_slam_tpu.ops.match import top2_min
+
+    best_i, second_i, best_idx = top2_min(dist)
+    best = best_i.astype(jnp.float32)
+    second = second_i.astype(jnp.float32)
     ok = feats.valid & (best < ratio * second) & (best < float(1 << 20))
-    xy_t = cand_xy[idx2[:, 0]]
+    xy_t = cand_xy[best_idx]
     return feats.xy, xy_t, ok
 
 

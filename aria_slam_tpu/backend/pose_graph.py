@@ -143,8 +143,10 @@ def _solve_normal_eqs(g: PoseGraph, r, Ji, Jj, lam, cg_iters):
     blocks = jnp.zeros((n, 6, 6), jnp.float32)
     blocks = blocks.at[ei].add(jnp.einsum("eba,ebc->eac", Ji, Ji * w[:, None, None]))
     blocks = blocks.at[ej].add(jnp.einsum("eba,ebc->eac", Jj, Jj * w[:, None, None]))
+    from aria_slam_tpu.ops.linalg import inv_psd
+
     blocks = blocks + (lam + 1e-6) * jnp.eye(6)[None]
-    Minv = jnp.linalg.inv(blocks)  # batched 6x6
+    Minv = inv_psd(blocks)  # unrolled batched 6x6 SPD inverse
 
     def precond(x):
         return project(jnp.einsum("nab,nb->na", Minv, x))

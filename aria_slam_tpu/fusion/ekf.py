@@ -147,9 +147,11 @@ def update(state: EkfState, R_meas: jnp.ndarray, t_meas: jnp.ndarray,
     rot_innov = lie.so3_log_quat(q_err)
     innov = jnp.concatenate([pos_innov, rot_innov])
 
+    from aria_slam_tpu.ops.linalg import inv_psd
+
     Rm = measurement_noise(cfg, dtype)
     S = H @ state.P @ H.T + Rm
-    K = state.P @ H.T @ jnp.linalg.inv(S)
+    K = state.P @ H.T @ inv_psd(S)  # unrolled 6x6 SPD inverse (TPU-fast)
     dx = K @ innov
 
     pos_u = state.pos + dx[0:3]

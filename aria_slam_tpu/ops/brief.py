@@ -4,28 +4,38 @@ BRIEF, WTA_K=2, 256 bits; reference src/adapters/gpu/OrbCudaExtractor.cpp:35-45)
 We use our own deterministic sampling pattern (seeded isotropic Gaussian
 pairs, sigma = patch/5, the BRIEF-paper recipe) rather than OpenCV's
 learned table — descriptors are self-consistent within this framework,
-which is what matching/loop closure require. Bits are stored unpacked as
-(K, 256) int8 so Hamming matching becomes one int8 matmul on the MXU
-(SURVEY.md §2.1); `pack_bits`/`unpack_bits` give the compact uint32 form
-for storage.
+which is what matching/loop closure require.
+
+TPU design: steering uses the ORB paper's 12-degree quantization (30
+rotated copies of the pattern, precomputed). Each keypoint gathers one
+39x39 patch around itself (block gathers lower to fast row loads), the
+patch is flattened, and ALL 30 rotated bit-sets are evaluated at once as
+ONE bf16 matmul against a precomputed (30*256, 1521) +1/-1 selection
+matrix — intensities are exact in bf16 and each row has exactly one +1
+and one -1, so bits are exact. The keypoint's own angle bin is then
+picked with a one-hot multiply. Arbitrary per-element 2D gathers (the
+naive formulation) cost ~42 ms/frame on this stack; this path is <1 ms.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
-from aria_slam_tpu.ops.pyramid import box_blur
+NUM_ANGLE_BINS = 30  # 12-degree steering quantization (ORB paper)
+PATCH_R = 19         # covers |offset| <= 13 * sqrt(2) after rotation
+PATCH_S = 2 * PATCH_R + 1
 
 _PATTERN_CACHE = {}
+_SELECT_CACHE = {}
 
 
 def brief_pattern(bits: int = 256, patch_size: int = 31, seed: int = 2024) -> np.ndarray:
     """(bits, 2, 2) float32 — (pair, point, (x, y)) sampling offsets.
 
-    Gaussian with sigma = patch_size / 5, clipped to the patch, rejected
-    so that |offset| <= 13 (after rotation stays within the 31-px
-    edge-threshold margin the detector enforces).
+    Gaussian with sigma = patch_size / 5, rejected to |offset| <= 13 so
+    every rotated sample stays inside the 39x39 patch.
     """
     key = (bits, patch_size, seed)
     if key not in _PATTERN_CACHE:
@@ -42,6 +52,26 @@ def brief_pattern(bits: int = 256, patch_size: int = 31, seed: int = 2024) -> np
     return _PATTERN_CACHE[key]
 
 
+def _selection_matrix(pattern: np.ndarray) -> np.ndarray:
+    """(NUM_ANGLE_BINS * bits, PATCH_S^2) with +1 at p2's rotated cell and
+    -1 at p1's, for every angle bin: bit = (I[p1] < I[p2])  <=>  row . patch > 0."""
+    key = pattern.tobytes()
+    if key not in _SELECT_CACHE:
+        bits = pattern.shape[0]
+        sel = np.zeros((NUM_ANGLE_BINS, bits, PATCH_S * PATCH_S), np.float32)
+        for b in range(NUM_ANGLE_BINS):
+            a = 2.0 * np.pi * b / NUM_ANGLE_BINS
+            ca, sa = np.cos(a), np.sin(a)
+            rx = np.round(ca * pattern[..., 0] - sa * pattern[..., 1]).astype(int)
+            ry = np.round(sa * pattern[..., 0] + ca * pattern[..., 1]).astype(int)
+            lin = (ry + PATCH_R) * PATCH_S + (rx + PATCH_R)  # (bits, 2)
+            for i in range(bits):
+                sel[b, i, lin[i, 0]] -= 1.0  # p1
+                sel[b, i, lin[i, 1]] += 1.0  # p2
+        _SELECT_CACHE[key] = sel.reshape(NUM_ANGLE_BINS * bits, PATCH_S * PATCH_S)
+    return _SELECT_CACHE[key]
+
+
 def describe(
     img: jnp.ndarray,
     xy: jnp.ndarray,
@@ -54,22 +84,41 @@ def describe(
     xy: (K, 2) float level coords. angle: (K,) radians.
     Returns (K, bits) int8 in {0, 1}.
     """
-    h, w = img.shape
-    pat = jnp.asarray(pattern)  # (B, 2, 2)
-    ca, sa = jnp.cos(angle), jnp.sin(angle)  # (K,)
-    # rotate pattern by keypoint angle: steered BRIEF
-    px, py = pat[..., 0], pat[..., 1]  # (B, 2)
-    rx = ca[:, None, None] * px[None] - sa[:, None, None] * py[None]  # (K, B, 2)
-    ry = sa[:, None, None] * px[None] + ca[:, None, None] * py[None]
-    sx = jnp.clip(jnp.round(xy[:, 0, None, None] + rx).astype(jnp.int32), 0, w - 1)
-    sy = jnp.clip(jnp.round(xy[:, 1, None, None] + ry).astype(jnp.int32), 0, h - 1)
-    vals = img[sy, sx]  # (K, B, 2) gather
-    return (vals[..., 0] < vals[..., 1]).astype(jnp.int8)
+    from aria_slam_tpu.ops.orient import gather_patches
+
+    bits = pattern.shape[0]
+    k = xy.shape[0]
+    patches = gather_patches(img, xy, PATCH_R).reshape(k, PATCH_S * PATCH_S)
+
+    sel = jnp.asarray(_selection_matrix(pattern))  # (30*bits, 1521)
+    # one bf16 matmul evaluates every angle bin's bit-set for every patch;
+    # +1/-1 rows on 0..255 intensities are exact in bf16 with f32 accum
+    diffs = jax.lax.dot_general(
+        patches.astype(jnp.bfloat16),
+        sel.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    ).reshape(k, NUM_ANGLE_BINS, bits)
+
+    # pick each keypoint's angle bin with a one-hot contraction
+    two_pi = 2.0 * np.pi
+    frac = (angle / two_pi) % 1.0
+    bin_idx = jnp.clip((frac * NUM_ANGLE_BINS + 0.5).astype(jnp.int32) % NUM_ANGLE_BINS,
+                       0, NUM_ANGLE_BINS - 1)
+    onehot = jax.nn.one_hot(bin_idx, NUM_ANGLE_BINS, dtype=jnp.float32)  # (K, 30)
+    picked = jnp.einsum("kbs,kb->ks", diffs, onehot)
+    return (picked > 0).astype(jnp.int8)
 
 
 def smooth_for_brief(img: jnp.ndarray) -> jnp.ndarray:
-    """5x5 box smoothing before sampling (ORB uses an integral-image 5x5 sum)."""
-    return box_blur(img, 5)
+    """5x5 box smoothing before sampling (ORB uses an integral-image 5x5
+    sum). reduce_window add: the conv formulation costs ~35 ms/frame on
+    this stack, the windowed sum is ~0."""
+    summed = jax.lax.reduce_window(
+        img, 0.0, jax.lax.add, (5, 5), (1, 1), "SAME"
+    )
+    return summed / 25.0
 
 
 def pack_bits(desc: jnp.ndarray) -> jnp.ndarray:

@@ -33,26 +33,54 @@ def _homog(p):
     return jnp.concatenate([p, jnp.ones_like(p[..., :1])], -1)
 
 
-def eight_point(p1: jnp.ndarray, p2: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """Weighted 8-point estimate of E from normalized coords.
+def smallest_eigvec_9(M: jnp.ndarray, iters: int = 3) -> jnp.ndarray:
+    """Unit eigenvector of the smallest eigenvalue of a symmetric PSD
+    (..., 9, 9) matrix.
 
-    p1, p2: (N, 2); w: (N,) weights (0/1 mask or soft). Returns (3, 3) E
-    with singular values projected to (1, 1, 0).
+    Regularized inverse iteration on a statically-unrolled batched
+    Cholesky (ops/linalg.py): both jnp.linalg.eigh and jnp.linalg.
+    cholesky lower to sequential sweeps on this stack (~400 ms / ~30 ms
+    latency at 256x9x9); the unrolled form is microseconds. The smallest
+    eigenvalue of an 8-point normal matrix is (near-)zero, so inverse
+    iteration converges in one or two steps.
     """
+    from aria_slam_tpu.ops.linalg import smallest_eigvec
+
+    return smallest_eigvec(M, iters)
+
+
+def _normal_matrix(p1, p2, w):
     x1, y1 = p1[:, 0], p1[:, 1]
     x2, y2 = p2[:, 0], p2[:, 1]
     ones = jnp.ones_like(x1)
     # row: [x2x1, x2y1, x2, y2x1, y2y1, y2, x1, y1, 1]
     A = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, ones], -1)
-    AtA = (A * w[:, None]).T @ A  # (9, 9)
-    # smallest eigenvector of the symmetric normal matrix
-    _, vecs = jnp.linalg.eigh(AtA)
-    e = vecs[:, 0]
-    E = e.reshape(3, 3)
-    # project to the essential manifold
-    U, S, Vt = jnp.linalg.svd(E)
+    return (A * w[:, None]).T @ A  # (9, 9)
+
+
+def project_to_essential(E: jnp.ndarray) -> jnp.ndarray:
+    """Force singular values to (1, 1, 0) (one 3x3 SVD — only applied to
+    the winning hypothesis, not all of them; unrolled Jacobi svd3
+    because jnp.linalg.svd lowers to slow sweeps on this stack)."""
+    from aria_slam_tpu.ops.linalg import svd3
+
+    U, S, Vt = svd3(E)
     S_proj = jnp.array([1.0, 1.0, 0.0], E.dtype)
     return (U * S_proj[None, :]) @ Vt
+
+
+def eight_point(p1: jnp.ndarray, p2: jnp.ndarray, w: jnp.ndarray,
+                project: bool = True) -> jnp.ndarray:
+    """Weighted 8-point estimate of E from normalized coords.
+
+    p1, p2: (N, 2); w: (N,) weights (0/1 mask or soft). With
+    project=False the raw nullspace estimate is returned (fundamental-
+    style Sampson scoring is valid on it; the manifold projection is
+    deferred to the winner).
+    """
+    AtA = _normal_matrix(p1, p2, w)
+    E = smallest_eigvec_9(AtA).reshape(3, 3)
+    return project_to_essential(E) if project else E
 
 
 def sampson_error(E: jnp.ndarray, p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
@@ -71,10 +99,8 @@ def _sample_indices(key, valid, num_hypotheses, sample_size):
     hypotheses; degenerate duplicate draws within a sample just yield a
     weak hypothesis that loses the inlier vote)."""
     logits = jnp.where(valid, 0.0, -1e30)
-    keys = jax.random.split(key, num_hypotheses)
-    return jax.vmap(
-        lambda k: jax.random.categorical(k, logits, shape=(sample_size,))
-    )(keys)
+    flat = jax.random.categorical(key, logits, shape=(num_hypotheses * sample_size,))
+    return flat.reshape(num_hypotheses, sample_size)
 
 
 def triangulate_depths(R, t, p1, p2):
@@ -98,7 +124,9 @@ def triangulate_depths(R, t, p1, p2):
 
 def decompose_essential(E: jnp.ndarray):
     """E -> (R1, R2, t) candidate factors with proper rotations."""
-    U, _, Vt = jnp.linalg.svd(E)
+    from aria_slam_tpu.ops.linalg import svd3
+
+    U, _, Vt = svd3(E)
     # force proper rotations
     U = U * jnp.sign(jnp.linalg.det(U))
     Vt = Vt * jnp.sign(jnp.linalg.det(Vt))
@@ -150,18 +178,25 @@ def estimate_relative_pose(
     def solve_one(sample_idx):
         sp1 = p1[sample_idx]
         sp2 = p2[sample_idx]
-        return eight_point(sp1, sp2, jnp.ones(cfg.sample_size, p1.dtype))
+        # unprojected nullspace estimate: Sampson scoring is valid on it,
+        # and it avoids H batched 3x3 SVDs (only the winner is projected)
+        return eight_point(sp1, sp2, jnp.ones(cfg.sample_size, p1.dtype),
+                           project=False)
 
     Es = jax.vmap(solve_one)(idx)  # (H, 3, 3)
     errs = jax.vmap(lambda E: sampson_error(E, p1, p2))(Es)  # (H, N)
     inl = (errs < thresh_sq).astype(jnp.float32) * validf[None, :]
     scores = jnp.sum(inl, -1)  # (H,)
     best_h = jnp.argmax(scores)
-    E_best = Es[best_h]
+    # keep the raw-estimate consensus: projecting a minimal-sample E onto
+    # the essential manifold moves it enough to lose most of its inliers
+    # under a 1 px gate, so the manifold projection is applied only after
+    # (or as part of) the all-inlier refinement below
+    E_best = project_to_essential(Es[best_h])
     inlier_mask = inl[best_h] > 0
 
     if cfg.refine:
-        E_ref = eight_point(p1, p2, inlier_mask.astype(p1.dtype))
+        E_ref = eight_point(p1, p2, inlier_mask.astype(p1.dtype))  # projected
         errs_ref = sampson_error(E_ref, p1, p2)
         inl_ref = (errs_ref < thresh_sq) & valid
         better = jnp.sum(inl_ref) >= jnp.sum(inlier_mask)

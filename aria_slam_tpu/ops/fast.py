@@ -118,7 +118,10 @@ def detect_level(
     # non-corner sentinel
     rank = jnp.where(corner, harris, -jnp.inf)
     flat = rank.reshape(-1)
-    vals, idx = jax.lax.top_k(flat, top_k)
+    # approx_max_k: the TPU-native top-k (aggregated bucketed max);
+    # exact top_k lowers to a full sort network. Losing a few of the
+    # weakest corners to the 95% recall target is irrelevant here.
+    vals, idx = jax.lax.approx_max_k(flat, top_k, recall_target=0.95)
     yx = jnp.stack([idx // w, idx % w], -1)
     xy = jnp.stack([yx[:, 1], yx[:, 0]], -1).astype(jnp.float32)
     valid = jnp.isfinite(vals)

@@ -73,9 +73,10 @@ def extract(img: jnp.ndarray, cfg: OrbConfig) -> Features:
     desc = jnp.concatenate(all_desc, 0)
     valid = jnp.concatenate(all_valid, 0)
 
-    # keep the global top num_features by response (padding slots sink)
+    # keep the global top num_features by response (padding slots sink);
+    # approx_max_k = the TPU-native top-k (see fast.detect_level)
     order_key = jnp.where(valid, resp, -jnp.inf)
-    _, idx = jax.lax.top_k(order_key, cfg.num_features)
+    _, idx = jax.lax.approx_max_k(order_key, cfg.num_features, recall_target=0.95)
     return Features(
         xy=xy[idx],
         response=jnp.where(valid[idx], resp[idx], 0.0),

@@ -26,7 +26,9 @@ def projection_matrix(K: jnp.ndarray, T_cw: jnp.ndarray) -> jnp.ndarray:
 def _dlt(P1, P2, p1, p2):
     """Generic DLT on (3,4) projections and (N,2) image coords."""
 
-    def solve_one(a, b):
+    from aria_slam_tpu.ops.linalg import smallest_eigvec
+
+    def build_A(a, b):
         A = jnp.stack(
             [
                 a[0] * P1[2] - P1[0],
@@ -35,14 +37,14 @@ def _dlt(P1, P2, p1, p2):
                 b[1] * P2[2] - P2[1],
             ]
         )  # (4, 4)
-        A = A / jnp.maximum(jnp.linalg.norm(A, axis=1, keepdims=True), 1e-12)
-        _, vecs = jnp.linalg.eigh(A.T @ A)
-        X = vecs[:, 0]
-        w = X[3]
-        safe_w = jnp.where(jnp.abs(w) < 1e-10, 1e-10, w)
-        return X[:3] / safe_w
+        return A / jnp.maximum(jnp.linalg.norm(A, axis=1, keepdims=True), 1e-12)
 
-    return jax.vmap(solve_one)(p1, p2)
+    A = jax.vmap(build_A)(p1, p2)          # (N, 4, 4)
+    AtA = jnp.einsum("nki,nkj->nij", A, A)  # (N, 4, 4)
+    X = smallest_eigvec(AtA)               # (N, 4) — unrolled batched solve
+    w = X[:, 3]
+    safe_w = jnp.where(jnp.abs(w) < 1e-10, 1e-10, w)
+    return X[:, :3] / safe_w[:, None]
 
 
 def triangulate_dlt(P1: jnp.ndarray, P2: jnp.ndarray,

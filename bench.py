@@ -1,18 +1,30 @@
 """Headline benchmark: EuRoC-sized SLAM front-end FPS on one chip.
 
-Measures the steady-state per-frame latency of the jitted front-end
-(ORB extract 2000 feats / 8 levels on 752x480 + MXU Hamming match +
-essential RANSAC pose) on rendered textured frames — the same workload
-as the reference's headline 'ORB+YOLO parallel streams ~80 FPS on
-RTX 2060' (BASELINE.md; SURVEY.md §6). vs_baseline is FPS / 80.
+Workload parity with the reference's headline number (ORB 2000/8-level
+extract + BF-Hamming match + essential RANSAC per frame at 752x480 —
+'ORB+YOLO parallel streams ~80 FPS on RTX 2060', BASELINE.md).
+
+TPU-native execution shape: frame-pair VO is embarrassingly parallel
+(only the final pose accumulation is sequential), so frames run as a
+vmapped BATCH inside one XLA program — SURVEY.md §5.7's 'chunked jitted
+windows'. This also amortizes the harness's fixed per-program-dispatch
+overhead, which would otherwise dominate (~38 ms/call through the
+remote relay on this rig — measured with single-op programs).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+CHUNK = 16  # frame pairs per program call
+NUM_CHUNKS = 6
 
 
 def main():
@@ -29,41 +41,49 @@ def main():
 
     # realistic textured frames (rendered plane sweep, like EuRoC texture)
     tex = synthetic_scene._texture(seed=3)
-    n_frames = 32
-    frames = []
-    for k in range(n_frames):
+    frames_np = []
+    for k in range(CHUNK * NUM_CHUNKS + 1):
         pos, R = synthetic_scene.trajectory(k / 30.0)
-        frames.append(
+        frames_np.append(
             synthetic_scene.render_frame(cam, tex, pos, R).astype(np.float32)
         )
-    frames = [jnp.asarray(f) for f in frames]
+    # chunks of CHUNK+1 frames -> CHUNK consecutive pairs each
+    chunks = [
+        jnp.asarray(np.stack(frames_np[i * CHUNK : (i + 1) * CHUNK + 1]))
+        for i in range(NUM_CHUNKS)
+    ]
+
+    def pair_vo(img1, img2, key):
+        f1 = orb.extract(img1, cfg.orb)
+        f2 = orb.extract(img2, cfg.orb)
+        m = match_ops.match(f2, f1, cfg.matcher.ratio)
+        delta = epipolar.estimate_relative_pose(
+            f1.xy[m.train_idx], f2.xy[m.query_idx], m.valid, K, cfg.ransac, key
+        )
+        return delta.R, delta.t, delta.num_inliers
 
     @jax.jit
-    def step(prev_feats, img, key):
-        feats = orb.extract(img, cfg.orb)
-        m = match_ops.match(feats, prev_feats, cfg.matcher.ratio)
-        delta = epipolar.estimate_relative_pose(
-            prev_feats.xy[m.train_idx], feats.xy[m.query_idx], m.valid,
-            K, cfg.ransac, key,
-        )
-        return feats, delta.R, delta.t, delta.num_inliers
+    def chunk_step(frames, key):
+        # NOTE: extraction runs once per unique frame is an offline-eval
+        # optimization; here each pair re-extracts both ends, so the
+        # measured per-frame cost is CONSERVATIVE (2x extraction work).
+        keys = jax.random.split(key, frames.shape[0] - 1)
+        R, t, ni = jax.vmap(pair_vo)(frames[:-1], frames[1:], keys)
+        return R, t, jnp.sum(ni)
 
     key = jax.random.key(0)
-    feats = orb.extract(frames[0], cfg.orb)
-    # warmup / compile
-    feats, *_ = step(feats, frames[1], key)
-    jax.block_until_ready(feats.xy)
+    out = chunk_step(chunks[0], key)
+    float(out[2])  # force real execution (block_until_ready is lazy here)
 
-    reps = 4
     t0 = time.perf_counter()
-    out = None
-    for r in range(reps):
-        for img in frames:
-            feats, R, t, ni = step(feats, img, key)
-        out = (R, t, ni)
-    jax.block_until_ready(out[0])
+    total_frames = 0
+    for rep in range(2):
+        for i, ch in enumerate(chunks):
+            R, t, ni = chunk_step(ch, jax.random.key(rep * 31 + i + 1))
+            float(ni)  # sync: force the execution to complete
+            total_frames += CHUNK
     dt = time.perf_counter() - t0
-    fps = reps * len(frames) / dt
+    fps = total_frames / dt
 
     print(json.dumps({
         "metric": "euroc_frontend_fps_per_chip",
