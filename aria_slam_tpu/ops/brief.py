@@ -72,6 +72,39 @@ def _selection_matrix(pattern: np.ndarray) -> np.ndarray:
     return _SELECT_CACHE[key]
 
 
+def describe_from_patches(
+    patches_flat: jnp.ndarray,
+    angle: jnp.ndarray,
+    pattern: np.ndarray,
+) -> jnp.ndarray:
+    """rBRIEF bits from flattened 39x39 blurred patches.
+
+    patches_flat: (..., K, PATCH_S^2) float32. angle: (..., K) radians.
+    Returns (..., K, bits) int8 in {0, 1}.
+    """
+    bits = pattern.shape[0]
+    sel = jnp.asarray(_selection_matrix(pattern))  # (30*bits, 1521)
+    # one bf16 matmul evaluates every angle bin's bit-set for every patch;
+    # +1/-1 rows on 0..255 intensities are exact in bf16 with f32 accum
+    diffs = jnp.einsum(
+        "...kp,sp->...ks",
+        patches_flat.astype(jnp.bfloat16),
+        sel.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    diffs = diffs.reshape(diffs.shape[:-1] + (NUM_ANGLE_BINS, bits))
+
+    # pick each keypoint's angle bin with a one-hot contraction
+    two_pi = 2.0 * np.pi
+    frac = (angle / two_pi) % 1.0
+    bin_idx = jnp.clip((frac * NUM_ANGLE_BINS + 0.5).astype(jnp.int32) % NUM_ANGLE_BINS,
+                       0, NUM_ANGLE_BINS - 1)
+    onehot = jax.nn.one_hot(bin_idx, NUM_ANGLE_BINS, dtype=jnp.float32)
+    picked = jnp.einsum("...kbs,...kb->...ks", diffs, onehot)
+    return (picked > 0).astype(jnp.int8)
+
+
 def describe(
     img: jnp.ndarray,
     xy: jnp.ndarray,
@@ -86,39 +119,19 @@ def describe(
     """
     from aria_slam_tpu.ops.orient import gather_patches
 
-    bits = pattern.shape[0]
     k = xy.shape[0]
     patches = gather_patches(img, xy, PATCH_R).reshape(k, PATCH_S * PATCH_S)
-
-    sel = jnp.asarray(_selection_matrix(pattern))  # (30*bits, 1521)
-    # one bf16 matmul evaluates every angle bin's bit-set for every patch;
-    # +1/-1 rows on 0..255 intensities are exact in bf16 with f32 accum
-    diffs = jax.lax.dot_general(
-        patches.astype(jnp.bfloat16),
-        sel.astype(jnp.bfloat16),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.DEFAULT,
-    ).reshape(k, NUM_ANGLE_BINS, bits)
-
-    # pick each keypoint's angle bin with a one-hot contraction
-    two_pi = 2.0 * np.pi
-    frac = (angle / two_pi) % 1.0
-    bin_idx = jnp.clip((frac * NUM_ANGLE_BINS + 0.5).astype(jnp.int32) % NUM_ANGLE_BINS,
-                       0, NUM_ANGLE_BINS - 1)
-    onehot = jax.nn.one_hot(bin_idx, NUM_ANGLE_BINS, dtype=jnp.float32)  # (K, 30)
-    picked = jnp.einsum("kbs,kb->ks", diffs, onehot)
-    return (picked > 0).astype(jnp.int8)
+    return describe_from_patches(patches, angle, pattern)
 
 
 def smooth_for_brief(img: jnp.ndarray) -> jnp.ndarray:
     """5x5 box smoothing before sampling (ORB uses an integral-image 5x5
-    sum). reduce_window add: the conv formulation costs ~35 ms/frame on
-    this stack, the windowed sum is ~0."""
-    summed = jax.lax.reduce_window(
-        img, 0.0, jax.lax.add, (5, 5), (1, 1), "SAME"
-    )
-    return summed / 25.0
+    sum). Separable box filter as two banded bf16 matmuls — both the
+    conv and reduce_window formulations cost ~40 ms/frame on this stack."""
+    from aria_slam_tpu.ops.pyramid import _box_matrix, _sep_matmul
+
+    h, w = img.shape[-2:]
+    return _sep_matmul(img, _box_matrix(h, 5), _box_matrix(w, 5))
 
 
 def pack_bits(desc: jnp.ndarray) -> jnp.ndarray:

@@ -93,6 +93,28 @@ def nms_3x3(score: jnp.ndarray) -> jnp.ndarray:
     return jnp.where((score >= pooled) & (score > 0.0), score, 0.0)
 
 
+def use_pallas() -> bool:
+    """Fused Pallas kernels run on the TPU backend; the XLA formulation
+    is the CPU/test fallback (identical semantics, oracle-tested)."""
+    import os
+
+    if os.environ.get("ARIA_SLAM_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def rank_map_xla(img: jnp.ndarray, threshold: float,
+                 harris_block: int = 7) -> jnp.ndarray:
+    """Reference XLA formulation of the corner rank map (Harris response
+    at NMS'd FAST corners, -inf elsewhere)."""
+    score = nms_3x3(fast_score_map(img, threshold))
+    harris = harris_response(img, harris_block)
+    return jnp.where(score > 0.0, harris, -jnp.inf)
+
+
 def detect_level(
     img: jnp.ndarray,
     threshold: float,
@@ -105,18 +127,19 @@ def detect_level(
     Returns (xy (K,2) float32 level coords, response (K,), valid (K,)).
     """
     h, w = img.shape
-    score = nms_3x3(fast_score_map(img, threshold))
-    harris = harris_response(img, harris_block)
+    if use_pallas():
+        from aria_slam_tpu.ops.pallas.corner_kernel import corner_rank_map
+
+        rank = corner_rank_map(img, threshold, harris_block)
+    else:
+        rank = rank_map_xla(img, threshold, harris_block)
 
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     in_border = (
         (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
     )
-    corner = (score > 0.0) & in_border
-    # rank corners by Harris response; shift so that any corner beats any
-    # non-corner sentinel
-    rank = jnp.where(corner, harris, -jnp.inf)
+    rank = jnp.where(in_border, rank, -jnp.inf)
     flat = rank.reshape(-1)
     # approx_max_k: the TPU-native top-k (aggregated bucketed max);
     # exact top_k lowers to a full sort network. Losing a few of the
@@ -124,6 +147,6 @@ def detect_level(
     vals, idx = jax.lax.approx_max_k(flat, top_k, recall_target=0.95)
     yx = jnp.stack([idx // w, idx % w], -1)
     xy = jnp.stack([yx[:, 1], yx[:, 0]], -1).astype(jnp.float32)
-    valid = jnp.isfinite(vals)
+    valid = vals > -1e30
     response = jnp.where(valid, vals, 0.0)
     return xy, response, valid

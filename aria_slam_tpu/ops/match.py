@@ -91,8 +91,16 @@ def match(
     cross_check: bool = False,
 ) -> Matches:
     """kNN(k=2) + ratio test over padded feature sets."""
-    dist = hamming_matrix(query.desc, train.desc, train.valid)  # (Kq, Kt)
-    best, second, best_idx = top2_min(dist)
+    from aria_slam_tpu.ops.fast import use_pallas
+
+    if use_pallas() and not cross_check:
+        from aria_slam_tpu.ops.pallas.match_kernel import match_top2
+
+        best, second, best_idx = match_top2(query.desc, train.desc, train.valid)
+        dist = None
+    else:
+        dist = hamming_matrix(query.desc, train.desc, train.valid)  # (Kq, Kt)
+        best, second, best_idx = top2_min(dist)
 
     ok = (
         query.valid
@@ -114,6 +122,30 @@ def match(
         distance=best.astype(jnp.float32),
         valid=ok,
     )
+
+
+def match_batched(query: Features, train: Features, ratio: float = 0.75) -> Matches:
+    """kNN(k=2) + ratio test over Features with a leading batch axis
+    (one entry per frame pair). Uses the batched fused Pallas kernel on
+    TPU; vmapped XLA elsewhere."""
+    from aria_slam_tpu.ops.fast import use_pallas
+
+    if use_pallas():
+        from aria_slam_tpu.ops.pallas.match_kernel import match_top2_batched
+
+        best, second, best_idx = match_top2_batched(
+            query.desc, train.desc, train.valid
+        )
+        n, kq = best.shape
+        ok = (
+            query.valid
+            & (best.astype(jnp.float32) < ratio * second.astype(jnp.float32))
+            & (best < _BIG)
+        )
+        qidx = jnp.broadcast_to(jnp.arange(kq, dtype=jnp.int32)[None], (n, kq))
+        return Matches(query_idx=qidx, train_idx=best_idx.astype(jnp.int32),
+                       distance=best.astype(jnp.float32), valid=ok)
+    return jax.vmap(lambda q, t: match(q, t, ratio))(query, train)
 
 
 def match_scores_vs_database(

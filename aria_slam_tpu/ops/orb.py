@@ -1,4 +1,4 @@
-"""Fused ORB front-end: image -> Features, one jitted program.
+"""Fused ORB front-end: image(s) -> Features, one jitted program.
 
 Parity: the reference's Frame + OrbCudaExtractor flow
 (src/legacy/Frame.cpp:6-42, src/adapters/gpu/OrbCudaExtractor.cpp:21-217):
@@ -6,6 +6,13 @@ upload -> cv::cuda::ORB(detect+compute) -> download. Here the whole
 front-end (pyramid, FAST, Harris ranking, orientation, rBRIEF) is a
 single XLA program over fixed shapes; nothing leaves the device until
 the caller asks.
+
+Batched-first: `extract_batch` processes (B, H, W) frames together —
+the Pallas corner kernel batches over its grid (vmap over ANY-memspace
+pallas_calls is unsupported), everything else is vmapped. Offline
+evaluation and the benchmark run whole chunks of frames per program
+call (SURVEY.md §5.7 'chunked jitted windows'); the online pipeline
+uses B = 1.
 
 Feature budget per level follows the geometric distribution ORB uses:
 n_i proportional to (1/scale)^i, summing to num_features.
@@ -34,55 +41,97 @@ def features_per_level(num_features: int, num_levels: int, scale_factor: float) 
     return ns
 
 
-def extract(img: jnp.ndarray, cfg: OrbConfig) -> Features:
-    """img: (H, W) float32 grayscale in [0, 255] -> Features (padded to
-    cfg.num_features, ranked by Harris response)."""
-    levels = build_pyramid(img, cfg.num_levels, cfg.scale_factor)
+def _detect_level_batched(imgs, threshold, top_k, border, harris_block):
+    """(B, H, W) -> xy (B, K, 2), response (B, K), valid (B, K)."""
+    bsz, h, w = imgs.shape
+    if fast.use_pallas():
+        from aria_slam_tpu.ops.pallas.corner_kernel import corner_rank_map_batched
+
+        rank = corner_rank_map_batched(imgs, threshold, harris_block)
+    else:
+        rank = jax.vmap(lambda im: fast.rank_map_xla(im, threshold, harris_block))(imgs)
+
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    in_border = (
+        (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
+    )
+    rank = jnp.where(in_border[None], rank, -jnp.inf)
+    flat = rank.reshape(bsz, h * w)
+    vals, idx = jax.lax.approx_max_k(flat, top_k, recall_target=0.95)
+    xy = jnp.stack([(idx % w).astype(jnp.float32),
+                    (idx // w).astype(jnp.float32)], -1)
+    valid = vals > -1e30
+    return xy, jnp.where(valid, vals, 0.0), valid
+
+
+def extract_batch(imgs: jnp.ndarray, cfg: OrbConfig) -> Features:
+    """imgs: (B, H, W) float32 grayscale in [0, 255] -> Features with a
+    leading batch axis, padded to cfg.num_features per frame."""
+    bsz = imgs.shape[0]
+    levels = build_pyramid(imgs, cfg.num_levels, cfg.scale_factor)
     quotas = features_per_level(cfg.num_features, cfg.num_levels, cfg.scale_factor)
     pattern = brief.brief_pattern(cfg.descriptor_bits, cfg.patch_size, cfg.brief_seed)
 
     all_xy, all_resp, all_angle, all_oct, all_size, all_desc, all_valid = (
         [], [], [], [], [], [], []
     )
-    for lvl, (limg, quota) in enumerate(zip(levels, quotas)):
+    for lvl, (limgs, quota) in enumerate(zip(levels, quotas)):
         scale = cfg.scale_factor**lvl
-        xy, resp, valid = fast.detect_level(
-            limg,
-            cfg.fast_threshold,
-            quota,
-            border=cfg.edge_threshold,
-            harris_block=cfg.harris_block_size,
+        xy, resp, valid = _detect_level_batched(
+            limgs, cfg.fast_threshold, quota, cfg.edge_threshold,
+            cfg.harris_block_size,
         )
-        ang = orient.orientations(limg, xy)
-        blurred = brief.smooth_for_brief(limg)
-        desc = brief.describe(blurred, xy, ang, pattern)
+        blurred = brief.smooth_for_brief(limgs)  # (B, h, w)
+        # one 39x39 patch gather per keypoint from the blurred level,
+        # shared by orientation (central 31x31) and rBRIEF sampling
+        patches = jax.vmap(
+            lambda im, p: orient.gather_patches(im, p, brief.PATCH_R)
+        )(blurred, xy)  # (B, K, 39, 39)
+        ang = jax.vmap(orient.orientations_from_patches)(patches)
+        desc = brief.describe_from_patches(
+            patches.reshape(bsz, quota, -1), ang, pattern
+        )
 
         all_xy.append(xy * scale)
         all_resp.append(resp)
         all_angle.append(ang)
-        all_oct.append(jnp.full((quota,), lvl, jnp.int32))
-        all_size.append(jnp.full((quota,), cfg.patch_size * scale, jnp.float32))
+        all_oct.append(jnp.full((bsz, quota), lvl, jnp.int32))
+        all_size.append(jnp.full((bsz, quota), cfg.patch_size * scale, jnp.float32))
         all_desc.append(desc)
         all_valid.append(valid)
 
-    xy = jnp.concatenate(all_xy, 0)
-    resp = jnp.concatenate(all_resp, 0)
-    angle = jnp.concatenate(all_angle, 0)
-    octv = jnp.concatenate(all_oct, 0)
-    size = jnp.concatenate(all_size, 0)
-    desc = jnp.concatenate(all_desc, 0)
-    valid = jnp.concatenate(all_valid, 0)
+    xy = jnp.concatenate(all_xy, 1)
+    resp = jnp.concatenate(all_resp, 1)
+    angle = jnp.concatenate(all_angle, 1)
+    octv = jnp.concatenate(all_oct, 1)
+    size = jnp.concatenate(all_size, 1)
+    desc = jnp.concatenate(all_desc, 1)
+    valid = jnp.concatenate(all_valid, 1)
 
     # keep the global top num_features by response (padding slots sink);
-    # approx_max_k = the TPU-native top-k (see fast.detect_level)
+    # approx_max_k = the TPU-native top-k
     order_key = jnp.where(valid, resp, -jnp.inf)
     _, idx = jax.lax.approx_max_k(order_key, cfg.num_features, recall_target=0.95)
+
+    def take(arr):
+        return jnp.take_along_axis(
+            arr, idx.reshape(idx.shape + (1,) * (arr.ndim - 2)), axis=1
+        )
+
+    valid_out = take(valid)
     return Features(
-        xy=xy[idx],
-        response=jnp.where(valid[idx], resp[idx], 0.0),
-        angle=angle[idx],
-        octave=octv[idx],
-        size=size[idx],
-        desc=desc[idx] * valid[idx, None].astype(jnp.int8),
-        valid=valid[idx],
+        xy=take(xy),
+        response=jnp.where(valid_out, take(resp), 0.0),
+        angle=take(angle),
+        octave=take(octv),
+        size=take(size),
+        desc=take(desc) * valid_out[..., None].astype(jnp.int8),
+        valid=valid_out,
     )
+
+
+def extract(img: jnp.ndarray, cfg: OrbConfig) -> Features:
+    """Single-frame wrapper: (H, W) -> Features (no batch axis)."""
+    feats = extract_batch(img[None], cfg)
+    return jax.tree_util.tree_map(lambda x: x[0], feats)

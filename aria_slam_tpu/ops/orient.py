@@ -30,10 +30,14 @@ def gather_patches(img: jnp.ndarray, xy: jnp.ndarray, radius: int = PATCH_RADIUS
     return img[yy, xx]  # (K, S, S) gather
 
 
-def orientations(img: jnp.ndarray, xy: jnp.ndarray, radius: int = PATCH_RADIUS) -> jnp.ndarray:
-    """Intensity-centroid angle (K,) in radians for keypoints at level coords xy."""
-    size = 2 * radius + 1
-    patches = gather_patches(img, xy, radius)  # (K, S, S)
+def orientations_from_patches(patches: jnp.ndarray,
+                              radius: int = PATCH_RADIUS) -> jnp.ndarray:
+    """Intensity-centroid angle (K,) from centered square patches
+    (K, S, S) with S >= 2*radius+1 (uses the central (2r+1)^2 window)."""
+    s = patches.shape[-1]
+    off = (s - (2 * radius + 1)) // 2
+    if off:
+        patches = patches[:, off : off + 2 * radius + 1, off : off + 2 * radius + 1]
     coords = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
     ys = coords[:, None]
     xs = coords[None, :]
@@ -42,3 +46,9 @@ def orientations(img: jnp.ndarray, xy: jnp.ndarray, radius: int = PATCH_RADIUS) 
     m10 = jnp.sum(patches * (xs * wmask)[None], axis=(1, 2))
     m01 = jnp.sum(patches * (ys * wmask)[None], axis=(1, 2))
     return jnp.arctan2(m01, m10)
+
+
+def orientations(img: jnp.ndarray, xy: jnp.ndarray, radius: int = PATCH_RADIUS) -> jnp.ndarray:
+    """Intensity-centroid angle (K,) in radians for keypoints at level coords xy."""
+    patches = gather_patches(img, xy, radius)  # (K, S, S)
+    return orientations_from_patches(patches, radius)

@@ -53,23 +53,26 @@ def main():
         for i in range(NUM_CHUNKS)
     ]
 
-    def pair_vo(img1, img2, key):
-        f1 = orb.extract(img1, cfg.orb)
-        f2 = orb.extract(img2, cfg.orb)
-        m = match_ops.match(f2, f1, cfg.matcher.ratio)
-        delta = epipolar.estimate_relative_pose(
-            f1.xy[m.train_idx], f2.xy[m.query_idx], m.valid, K, cfg.ransac, key
-        )
-        return delta.R, delta.t, delta.num_inliers
-
     @jax.jit
     def chunk_step(frames, key):
-        # NOTE: extraction runs once per unique frame is an offline-eval
-        # optimization; here each pair re-extracts both ends, so the
-        # measured per-frame cost is CONSERVATIVE (2x extraction work).
+        # batched front-end: extract all frames once, match/RANSAC the
+        # CHUNK consecutive pairs together
+        feats = orb.extract_batch(frames, cfg.orb)
+        prev = jax.tree_util.tree_map(lambda x: x[:-1], feats)
+        cur = jax.tree_util.tree_map(lambda x: x[1:], feats)
+        m = match_ops.match_batched(cur, prev, cfg.matcher.ratio)
         keys = jax.random.split(key, frames.shape[0] - 1)
-        R, t, ni = jax.vmap(pair_vo)(frames[:-1], frames[1:], keys)
-        return R, t, jnp.sum(ni)
+
+        def pose_one(prev_f, cur_f, mm, k):
+            return epipolar.estimate_relative_pose(
+                jnp.take_along_axis(prev_f.xy, mm.train_idx[:, None], 0),
+                cur_f.xy,
+                mm.valid & prev_f.valid[mm.train_idx],
+                K, cfg.ransac, k,
+            )
+
+        delta = jax.vmap(pose_one)(prev, cur, m, keys)
+        return delta.R, delta.t, jnp.sum(delta.num_inliers)
 
     key = jax.random.key(0)
     out = chunk_step(chunks[0], key)
