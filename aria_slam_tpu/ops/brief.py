@@ -19,6 +19,8 @@ naive formulation) cost ~42 ms/frame on this stack; this path is <1 ms.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -70,6 +72,51 @@ def _selection_matrix(pattern: np.ndarray) -> np.ndarray:
                 sel[b, i, lin[i, 1]] += 1.0  # p2
         _SELECT_CACHE[key] = sel.reshape(NUM_ANGLE_BINS * bits, PATCH_S * PATCH_S)
     return _SELECT_CACHE[key]
+
+
+@functools.lru_cache(maxsize=None)
+def _moment_matrix(radius: int = 15) -> np.ndarray:
+    """(2, PATCH_S^2) rows = [x * mask, y * mask] over the central
+    (2r+1)^2 circular window of the 39x39 patch — so intensity-centroid
+    moments (m10, m01) come out of the same matmul as the BRIEF bits."""
+    m = np.zeros((2, PATCH_S, PATCH_S), np.float32)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            if dx * dx + dy * dy <= radius * radius:
+                m[0, PATCH_R + dy, PATCH_R + dx] = dx
+                m[1, PATCH_R + dy, PATCH_R + dx] = dy
+    return m.reshape(2, PATCH_S * PATCH_S)
+
+
+def describe_and_orient(patches_flat: jnp.ndarray, pattern: np.ndarray):
+    """Fused rBRIEF + intensity-centroid orientation from flattened
+    39x39 blurred patches: ONE bf16 matmul computes every angle bin's
+    bit differences AND the orientation moments; the angle then picks
+    its bin via one-hot. Returns (bits (..., K, 256) int8, angle (..., K)).
+    """
+    bits = pattern.shape[0]
+    sel = _selection_matrix(pattern)                    # (30*bits, P)
+    combined = np.concatenate([sel, _moment_matrix()], 0)  # (30*bits+2, P)
+    out = jnp.einsum(
+        "...kp,sp->...ks",
+        patches_flat.astype(jnp.bfloat16),
+        jnp.asarray(combined).astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    diffs = out[..., : NUM_ANGLE_BINS * bits]
+    m10 = out[..., -2]
+    m01 = out[..., -1]
+    angle = jnp.arctan2(m01, m10)
+
+    diffs = diffs.reshape(diffs.shape[:-1] + (NUM_ANGLE_BINS, bits))
+    two_pi = 2.0 * np.pi
+    frac = (angle / two_pi) % 1.0
+    bin_idx = jnp.clip((frac * NUM_ANGLE_BINS + 0.5).astype(jnp.int32) % NUM_ANGLE_BINS,
+                       0, NUM_ANGLE_BINS - 1)
+    onehot = jax.nn.one_hot(bin_idx, NUM_ANGLE_BINS, dtype=jnp.float32)
+    picked = jnp.einsum("...kbs,...kb->...ks", diffs, onehot)
+    return (picked > 0).astype(jnp.int8), angle
 
 
 def describe_from_patches(

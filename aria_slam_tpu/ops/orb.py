@@ -83,14 +83,18 @@ def extract_batch(imgs: jnp.ndarray, cfg: OrbConfig) -> Features:
             cfg.harris_block_size,
         )
         blurred = brief.smooth_for_brief(limgs)  # (B, h, w)
-        # one 39x39 patch gather per keypoint from the blurred level,
-        # shared by orientation (central 31x31) and rBRIEF sampling
-        patches = jax.vmap(
-            lambda im, p: orient.gather_patches(im, p, brief.PATCH_R)
-        )(blurred, xy)  # (B, K, 39, 39)
-        ang = jax.vmap(orient.orientations_from_patches)(patches)
-        desc = brief.describe_from_patches(
-            patches.reshape(bsz, quota, -1), ang, pattern
+        # one 39x39 patch per keypoint from the blurred level;
+        # orientation moments + all rBRIEF bins come out of one matmul
+        if fast.use_pallas():
+            from aria_slam_tpu.ops.pallas.patch_kernel import extract_patches
+
+            patches = extract_patches(blurred, xy, brief.PATCH_R)
+        else:
+            patches = jax.vmap(
+                lambda im, p: orient.gather_patches(im, p, brief.PATCH_R)
+            )(blurred, xy)  # (B, K, 39, 39)
+        desc, ang = brief.describe_and_orient(
+            patches.reshape(bsz, quota, -1), pattern
         )
 
         all_xy.append(xy * scale)
@@ -101,33 +105,19 @@ def extract_batch(imgs: jnp.ndarray, cfg: OrbConfig) -> Features:
         all_desc.append(desc)
         all_valid.append(valid)
 
-    xy = jnp.concatenate(all_xy, 1)
-    resp = jnp.concatenate(all_resp, 1)
-    angle = jnp.concatenate(all_angle, 1)
-    octv = jnp.concatenate(all_oct, 1)
-    size = jnp.concatenate(all_size, 1)
-    desc = jnp.concatenate(all_desc, 1)
+    # per-level quotas sum exactly to num_features (like OpenCV's
+    # per-level retainBest), so plain concatenation gives the padded
+    # feature set directly — no global re-rank gather needed
     valid = jnp.concatenate(all_valid, 1)
-
-    # keep the global top num_features by response (padding slots sink);
-    # approx_max_k = the TPU-native top-k
-    order_key = jnp.where(valid, resp, -jnp.inf)
-    _, idx = jax.lax.approx_max_k(order_key, cfg.num_features, recall_target=0.95)
-
-    def take(arr):
-        return jnp.take_along_axis(
-            arr, idx.reshape(idx.shape + (1,) * (arr.ndim - 2)), axis=1
-        )
-
-    valid_out = take(valid)
+    desc = jnp.concatenate(all_desc, 1) * valid[..., None].astype(jnp.int8)
     return Features(
-        xy=take(xy),
-        response=jnp.where(valid_out, take(resp), 0.0),
-        angle=take(angle),
-        octave=take(octv),
-        size=take(size),
-        desc=take(desc) * valid_out[..., None].astype(jnp.int8),
-        valid=valid_out,
+        xy=jnp.concatenate(all_xy, 1),
+        response=jnp.where(valid, jnp.concatenate(all_resp, 1), 0.0),
+        angle=jnp.concatenate(all_angle, 1),
+        octave=jnp.concatenate(all_oct, 1),
+        size=jnp.concatenate(all_size, 1),
+        desc=desc,
+        valid=valid,
     )
 
 
