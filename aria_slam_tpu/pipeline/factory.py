@@ -59,9 +59,15 @@ def _mock_extractor(cfg: PipelineConfig):
 
 
 def create(mode: ExecutionMode | str = ExecutionMode.TPU,
-           config: PipelineConfig | None = None, **kw) -> SlamPipeline:
+           config: PipelineConfig | None = None,
+           detector_weights: str | None = None, **kw) -> SlamPipeline:
     mode = ExecutionMode(mode) if isinstance(mode, str) else mode
     config = config or PipelineConfig()
+    if config.enable_detection and "detector" not in kw:
+        from aria_slam_tpu.models.detect import make_detector
+
+        kw["detector"] = make_detector(config.detector,
+                                       weights_path=detector_weights)
     if mode is ExecutionMode.MOCK:
         return SlamPipeline(config, extractor=_mock_extractor(config), **kw)
     # TPU vs CPU: jax picks the default backend; tests pin JAX_PLATFORMS=cpu

@@ -55,3 +55,22 @@ class LoopDetector(Protocol):
     """Parity: ILoopDetector (include/interfaces/ILoopDetector.hpp)."""
 
     def __call__(self, db, feats: Features, frame_id, key) -> "LoopResult": ...  # noqa: F821
+
+
+@runtime_checkable
+class SensorFusion(Protocol):
+    """Parity: ISensorFusion (include/interfaces/ISensorFusion.hpp:
+    predictIMU/updateVO folded into one frame_step over a padded IMU
+    window + VO measurement)."""
+
+    def __call__(self, state: EkfState, imu_t, imu_accel, imu_gyro,
+                 imu_valid, R_vo, t_vo, vo_valid, frame_t) -> EkfState: ...
+
+
+@runtime_checkable
+class Mapper(Protocol):
+    """Parity: IMapper (include/interfaces/IMapper.hpp: triangulate into
+    the padded map buffer)."""
+
+    def __call__(self, map_state: MapState, K, T1_cw, T2_cw,
+                 uv1, uv2, valid, image) -> MapState: ...
