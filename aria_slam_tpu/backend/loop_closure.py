@@ -1,18 +1,21 @@
-"""Loop-closure detection: fused place recognition + geometric verification.
+"""Loop-closure detection: prefiltered place recognition + geometric
+verification, fully on device.
 
 Parity: reference LoopClosureDetector (src/legacy/LoopClosure.cpp:13-195):
-  1. brute-force descriptor scores against every stored keyframe
-     (score = ratio-test survivors / query keypoints, floor 0.1, top-5)
+  1. descriptor-match score against stored keyframes
+     (score = ratio-test survivors / query keypoints)
   2. gates: frame gap >= min_frames_between, score >= min_score
   3. geometric verification by robust epipolar fit, inliers >= min_matches
   4. relative pose from essential matrix + recoverPose
 
-TPU design (SURVEY.md §5.7): step 1 is ONE int8 matmul of the query
-descriptors against the whole [N, F, 256] database (the H14 batch
-matcher on the MXU); steps 2-4 are vmapped over the top-k candidates so
-the entire detector — including k RANSAC verifications — is a single
-jitted program. The reference's calibrated setting makes the essential
-matrix the right verification model (it used F + hardcoded K as a
+TPU design (SURVEY.md §5.7, H14 row 22): brute-force full matching
+against every keyframe is N x F x F x 256 MAC — the 512-KF default
+would cost ~1 TFLOP and an 8 GB distance tensor per query. Instead a
+bit-frequency histogram (one skinny matmul over the whole DB) ranks
+keyframes; the top `prefilter_k` candidates get the exact fused
+MXU match-score, and the best-scoring survivors are RANSAC-verified
+(vmapped). The reference's calibrated setting makes the essential
+matrix the right verification model (it used F + a hardcoded K as a
 shortcut, LoopClosure.cpp:170-176).
 """
 
@@ -25,10 +28,12 @@ import jax
 import jax.numpy as jnp
 
 from aria_slam_tpu.config import LoopClosureConfig, RansacConfig
+from aria_slam_tpu.core import lie
 from aria_slam_tpu.core.types import Features, KeyframeDB
 from aria_slam_tpu.ops import epipolar
-from aria_slam_tpu.ops.match import hamming_matrix, match_scores_vs_database
-from aria_slam_tpu.core import lie
+from aria_slam_tpu.ops.match import hamming_matrix, top2_min
+
+PREFILTER_K = 8  # candidates promoted from histogram ranking to full matching
 
 
 @flax.struct.dataclass
@@ -42,6 +47,37 @@ class LoopResult:
                               # (unit-scale translation, monocular)
 
 
+def _gated_candidates(db: KeyframeDB, hist_q, frame_id, cfg, k):
+    """Histogram-similarity ranking with gap/occupancy gates ->
+    (slots (k,), sims (k,))."""
+    # L1 similarity of bit-frequency histograms (BoW-style scoring)
+    l1 = jnp.sum(jnp.abs(db.hist - hist_q[None, :]), -1)  # (N,)
+    sim = 1.0 - l1 / 256.0
+    occupied = db.frame_id >= 0
+    gap_ok = (frame_id - db.frame_id) >= cfg.min_frames_between
+    sim = jnp.where(occupied & gap_ok, sim, -1.0)
+    return jax.lax.top_k(sim, k)  # (sims, slots) -- note top_k order
+
+
+def _full_scores(db: KeyframeDB, feats: Features, slots, ratio):
+    """Exact ratio-test match score of the query against the candidate
+    keyframes (gathered: (k, F, B))."""
+    cand_desc = db.desc[slots]          # (k, F, B)
+    cand_valid = db.desc_valid[slots]   # (k, F)
+    k, f, b = cand_desc.shape
+    dist = hamming_matrix(feats.desc, cand_desc.reshape(k * f, b),
+                          cand_valid.reshape(k * f))
+    dist = dist.reshape(feats.desc.shape[0], k, f)
+    best, second, _ = top2_min(dist, axis=-1)  # (F_q, k)
+    good = (
+        feats.valid[:, None]
+        & (best.astype(jnp.float32) < ratio * second.astype(jnp.float32))
+        & (best < (1 << 20))
+    )
+    num_q = jnp.maximum(jnp.sum(feats.valid.astype(jnp.float32)), 1.0)
+    return jnp.sum(good.astype(jnp.float32), 0) / num_q  # (k,)
+
+
 def _match_against_slot(feats: Features, db: KeyframeDB, slot, ratio):
     """Ratio-test matches of the query against one DB keyframe; returns
     aligned (xy_q, xy_t, valid)."""
@@ -49,8 +85,6 @@ def _match_against_slot(feats: Features, db: KeyframeDB, slot, ratio):
     cand_valid = db.desc_valid[slot]
     cand_xy = db.xy[slot]
     dist = hamming_matrix(feats.desc, cand_desc, cand_valid)
-    from aria_slam_tpu.ops.match import top2_min
-
     best_i, second_i, best_idx = top2_min(dist)
     best = best_i.astype(jnp.float32)
     second = second_i.astype(jnp.float32)
@@ -68,16 +102,23 @@ def detect(
     ransac: RansacConfig,
     key: jax.Array,
 ) -> LoopResult:
-    frame_id = jnp.asarray(frame_id, jnp.int32)
-    scores = match_scores_vs_database(
-        feats.desc, feats.valid, db.desc, db.desc_valid, cfg.ratio
-    )  # (N,)
+    from aria_slam_tpu.backend.keyframe_db import descriptor_histogram
 
-    occupied = db.frame_id >= 0
-    gap_ok = (frame_id - db.frame_id) >= cfg.min_frames_between
-    gated = occupied & gap_ok & (scores >= jnp.maximum(cfg.min_score, cfg.candidate_score_floor))
-    cand_scores = jnp.where(gated, scores, -1.0)
-    top_scores, top_slots = jax.lax.top_k(cand_scores, cfg.top_k_candidates)
+    frame_id = jnp.asarray(frame_id, jnp.int32)
+    hist_q = descriptor_histogram(feats.desc, feats.valid)
+    _, cand_slots = _gated_candidates(db, hist_q, frame_id, cfg, PREFILTER_K)
+
+    scores = _full_scores(db, feats, cand_slots, cfg.ratio)  # (PREFILTER_K,)
+    # re-apply gates on the exact score (candidates may include gated-out
+    # -1 slots when the DB is small)
+    occupied = db.frame_id[cand_slots] >= 0
+    gap_ok = (frame_id - db.frame_id[cand_slots]) >= cfg.min_frames_between
+    gated = occupied & gap_ok & (scores >= jnp.maximum(cfg.min_score,
+                                                       cfg.candidate_score_floor))
+    scores = jnp.where(gated, scores, -1.0)
+
+    top_scores, top_pos = jax.lax.top_k(scores, cfg.top_k_candidates)
+    top_slots = cand_slots[top_pos]
 
     # geometric verification RANSAC at the loop threshold
     loop_ransac = dataclasses.replace(
@@ -95,7 +136,6 @@ def detect(
             & delta.success
             & (delta.num_inliers >= cfg.min_matches)
         )
-        # T_rel: current-cam -> candidate-cam motion as 4x4
         T = lie.se3_matrix(delta.R, delta.t)
         return passed, delta.num_inliers, T
 
@@ -113,3 +153,31 @@ def detect(
         num_inliers=jnp.where(any_pass, inliers[first], 0),
         T_rel=jnp.where(any_pass, Ts[first], jnp.eye(4, dtype=jnp.float32)),
     )
+
+
+# ------------------------------------------------------- chunked offline API
+def batch_candidates(db: KeyframeDB, hists, frame_ids, cfg: LoopClosureConfig):
+    """Histogram prefilter for a chunk of frames at once:
+    hists (C, B), frame_ids (C,) -> (sims (C, k), slots (C, k))."""
+    return jax.vmap(
+        lambda h, fid: _gated_candidates(db, h, fid, cfg, PREFILTER_K)
+    )(hists, frame_ids)
+
+
+def score_candidates(db: KeyframeDB, feats: Features, slots, cfg):
+    """Exact match scores of one query frame against candidate slots."""
+    return _full_scores(db, feats, slots, cfg.ratio)
+
+
+def verify_candidate(db: KeyframeDB, feats: Features, slot, K,
+                     cfg: LoopClosureConfig, ransac: RansacConfig, key):
+    """Geometric verification of one (query, DB slot) pair ->
+    (passed, num_inliers, T_rel)."""
+    loop_ransac = dataclasses.replace(
+        ransac, inlier_threshold_px=cfg.verify_threshold_px,
+        min_inliers=cfg.min_matches,
+    )
+    xy_q, xy_t, ok = _match_against_slot(feats, db, slot, cfg.ratio)
+    delta = epipolar.estimate_relative_pose(xy_q, xy_t, ok, K, loop_ransac, key)
+    passed = delta.success & (delta.num_inliers >= cfg.min_matches)
+    return passed, delta.num_inliers, lie.se3_matrix(delta.R, delta.t)

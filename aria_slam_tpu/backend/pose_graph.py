@@ -67,6 +67,30 @@ def _add_edge(g: PoseGraph, i, j, rel, weight) -> PoseGraph:
     )
 
 
+def extend_chain(g: PoseGraph, poses, rels, first_node) -> PoseGraph:
+    """Append C chain nodes + odometry edges in one call (offline
+    chunked evaluation): node ids first_node..first_node+C-1 with world
+    poses `poses` (C, 4, 4) and edges (i-1 -> i) measuring `rels`
+    (C, 4, 4) = T_{i-1}^-1 T_i."""
+    c = poses.shape[0]
+    first_node = jnp.asarray(first_node, jnp.int32)
+    node_idx = first_node + jnp.arange(c, dtype=jnp.int32)
+    ecap = g.edge_i.shape[0]
+    edge_slots = jnp.minimum(g.num_edges + jnp.arange(c, dtype=jnp.int32),
+                             ecap - 1)
+    return g.replace(
+        node_pose=g.node_pose.at[node_idx].set(poses),
+        node_valid=g.node_valid.at[node_idx].set(True),
+        edge_i=g.edge_i.at[edge_slots].set(node_idx - 1),
+        edge_j=g.edge_j.at[edge_slots].set(node_idx),
+        edge_rel=g.edge_rel.at[edge_slots].set(rels),
+        edge_weight=g.edge_weight.at[edge_slots].set(1.0),
+        edge_valid=g.edge_valid.at[edge_slots].set(True),
+        num_nodes=jnp.maximum(g.num_nodes, first_node + c),
+        num_edges=jnp.minimum(g.num_edges + c, ecap),
+    )
+
+
 def add_odometry_edge(g: PoseGraph, i, j, rel, cfg: PoseGraphConfig) -> PoseGraph:
     """Parity: addOdometryEdge (LoopClosure.cpp:255-273), weight 1."""
     return _add_edge(g, i, j, rel, jnp.asarray(1.0, jnp.float32))

@@ -172,6 +172,14 @@ class PipelineConfig:
     enable_dynamic_filtering: bool = False
     enable_fusion: bool = True
 
+    # monocular translation scale: "unit" = |t| = 1 per frame (parity
+    # with the reference's recoverPose accumulation), "median_depth" =
+    # normalize each step so the median triangulated scene depth equals
+    # vo_scene_depth — keeps the trajectory metrically consistent up to
+    # ONE global scale instead of one per frame (better ATE/RPE/maps)
+    vo_scale_mode: str = "median_depth"
+    vo_scene_depth: float = 4.0
+
     @staticmethod
     def from_yaml(path: str) -> "PipelineConfig":
         import yaml

@@ -115,6 +115,8 @@ class KeyframeDB:
     desc: jnp.ndarray       # (N, F, 256) int8 bits
     xy: jnp.ndarray         # (N, F, 2) float32 keypoint coords
     desc_valid: jnp.ndarray # (N, F) bool
+    hist: jnp.ndarray       # (N, 256) float32 — mean bit frequencies of the
+                            # keyframe's descriptors (place-recognition prefilter)
     frame_id: jnp.ndarray   # (N,) int32 — source frame index (-1 = empty)
     pose: jnp.ndarray       # (N, 4, 4) float32 — world-from-camera at insert
     size: jnp.ndarray       # () int32 — number of live entries

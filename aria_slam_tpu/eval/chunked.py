@@ -1,0 +1,229 @@
+"""Chunked offline SLAM evaluation: the TPU-native execution shape.
+
+The online SlamPipeline steps one frame per program call; offline
+evaluation has the whole sequence on disk, so frames run in CHUNKS
+(SURVEY.md §5.7 'chunked jitted windows'): one program call extracts
+C+1 frames, matches the C consecutive pairs on the MXU, runs C RANSACs,
+scale-normalizes the translations and triangulates map candidates — the
+host only accumulates 4x4 poses, feeds the pose graph in chunk-sized
+batches and reacts to loop-closure scalars. Loop closure runs the
+histogram prefilter for the whole chunk in one call against the DB
+snapshot (the <= C-frame lag is harmless next to min_frames_between).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from aria_slam_tpu.config import PipelineConfig
+from aria_slam_tpu.core import lie
+from aria_slam_tpu.backend import keyframe_db, loop_closure, pose_graph
+from aria_slam_tpu.mapping import mapper
+from aria_slam_tpu.ops import epipolar, match as match_ops, orb
+
+
+class ChunkedSlam:
+    """Offline chunked evaluator; mirrors the SlamPipeline results
+    (trajectory, map, loops) at batch throughput."""
+
+    def __init__(self, config: PipelineConfig, chunk: int = 16, seed: int = 0):
+        self.cfg = config
+        self.chunk = chunk
+        self.K = jnp.asarray(config.camera.K)
+        self._key = jax.random.key(seed)
+
+        cfg = config
+        K = self.K
+
+        def frontend(frames, key):
+            feats = orb.extract_batch(frames, cfg.orb)
+            prev = jax.tree_util.tree_map(lambda x: x[:-1], feats)
+            cur = jax.tree_util.tree_map(lambda x: x[1:], feats)
+            m = match_ops.match_batched(cur, prev, cfg.matcher.ratio)
+            keys = jax.random.split(key, frames.shape[0] - 1)
+
+            def pose_one(pf, cf, mm, k):
+                xy_prev = jnp.take_along_axis(pf.xy, mm.train_idx[:, None], 0)
+                valid = mm.valid & pf.valid[mm.train_idx]
+                delta = epipolar.estimate_relative_pose(
+                    xy_prev, cf.xy, valid, K, cfg.ransac, k
+                )
+                if cfg.vo_scale_mode == "median_depth":
+                    t_use = epipolar.scale_translation(
+                        delta, xy_prev, cf.xy, valid, K, cfg.vo_scene_depth
+                    )
+                else:
+                    t_use = delta.t
+                tri_mask = valid & delta.inlier_mask & delta.success
+                return (delta.R, t_use, delta.success, delta.num_inliers,
+                        xy_prev, cf.xy, tri_mask)
+
+            R, t, ok, ninl, uv_prev, uv_cur, tri = jax.vmap(pose_one)(
+                prev, cur, m, keys
+            )
+            hists = keyframe_db.descriptor_histogram(
+                cur.desc, cur.valid
+            )  # (C, 256)
+            return (R, t, ok, ninl, uv_prev, uv_cur, tri,
+                    cur.desc, cur.xy, cur.valid, hists)
+
+        self._frontend = jax.jit(frontend)
+        self._map_insert = jax.jit(
+            lambda m, T1, T2, uv1, uv2, v, imgs: mapper.add_from_matches_batched(
+                m, K, T1, T2, uv1, uv2, v, imgs, cfg.mapper)
+        )
+        self._extend = jax.jit(pose_graph.extend_chain)
+        self._kf_insert = jax.jit(keyframe_db.add_keyframes_batch)
+        self._lc_candidates = jax.jit(
+            lambda db, h, f: loop_closure.batch_candidates(db, h, f, cfg.loop)
+        )
+        self._lc_verify = jax.jit(
+            lambda db, feats, slot, k: loop_closure.verify_candidate(
+                db, feats, slot, K, cfg.loop, cfg.ransac, k)
+        )
+        self._lc_score = jax.jit(
+            lambda db, feats, slots: loop_closure.score_candidates(
+                db, feats, slots, cfg.loop)
+        )
+        self._optimize = jax.jit(lambda g: pose_graph.optimize(g, cfg.pose_graph))
+
+        # state
+        self.graph = pose_graph.init_graph(cfg.pose_graph)
+        self.graph = pose_graph.set_node(self.graph, 0, jnp.eye(4))
+        self.db = keyframe_db.init_db(cfg.loop, cfg.orb)
+        self.map_state = mapper.init_map(cfg.mapper)
+        self.T = np.eye(4, dtype=np.float32)
+        self.frame_count = 0
+        self.num_loops = 0
+        self.trajectory: list = []
+
+    def process_chunk(self, frames: np.ndarray, timestamps) -> None:
+        """frames: (C+1, H, W) — the first frame must be the previous
+        chunk's last frame (overlap of 1), except for the first call
+        where it is simply the first frame of the sequence."""
+        cfg = self.cfg
+        self._key, k1, k2 = jax.random.split(self._key, 3)
+        fr = jnp.asarray(frames, jnp.float32)
+        (R, t, ok, ninl, uv_prev, uv_cur, tri, desc, xy, dvalid, hists) = (
+            self._frontend(fr, k1)
+        )
+        R = np.asarray(R); t = np.asarray(t); ok = np.asarray(ok)
+
+        c = len(R)
+        first_frame = self.frame_count == 0
+        if first_frame:
+            self.trajectory.append((timestamps[0], self.T.copy()))
+            self.frame_count = 1
+
+        # ---- accumulate world poses on host (4x4 chain, trivial)
+        poses = []
+        T = self.T
+        for i in range(c):
+            if ok[i]:
+                T_cur_prev = np.eye(4, dtype=np.float32)
+                T_cur_prev[:3, :3] = R[i]
+                T_cur_prev[:3, 3] = t[i]
+                T = T @ np.linalg.inv(T_cur_prev)
+            poses.append(T.copy())
+        self.T = T
+        poses_np = np.stack(poses)
+
+        # ---- pose graph chunk append
+        rels = np.stack(
+            [np.linalg.inv(a) @ b for a, b in
+             zip([self.trajectory[-1][1]] + poses[:-1], poses)]
+        )
+        first_node = self.frame_count
+        self.graph = self._extend(self.graph, jnp.asarray(poses_np),
+                                  jnp.asarray(rels), first_node)
+
+        # ---- mapping (camera-from-world for both pair ends)
+        if cfg.enable_mapping:
+            prev_poses = np.stack([self.trajectory[-1][1]] + poses[:-1])
+            T1 = jnp.asarray(np.linalg.inv(prev_poses))
+            T2 = jnp.asarray(np.linalg.inv(poses_np))
+            self.map_state = self._map_insert(
+                self.map_state, T1, T2, uv_prev, uv_cur, tri, fr[1:]
+            )
+
+        # ---- loop closure (prefilter chunk, verify best candidates)
+        if cfg.enable_loop_closure:
+            # global frame index of each 'cur' frame; node id == frame id
+            # in the chunked graph (frame 0 is node 0)
+            fids = jnp.asarray(self.frame_count + np.arange(c), jnp.int32)
+            sims, slots = self._lc_candidates(self.db, hists, fids)
+            sims = np.asarray(sims)
+            loop_frame = None
+            for i in range(c):
+                if sims[i, 0] <= 0:
+                    continue
+                feats_i = self._frame_feats(desc, xy, dvalid, i)
+                scores = np.asarray(self._lc_score(self.db, feats_i, slots[i]))
+                j = int(scores.argmax())
+                if scores[j] < cfg.loop.min_score:
+                    continue
+                passed, ninl_l, T_rel = self._lc_verify(
+                    self.db, feats_i, slots[i][j], k2
+                )
+                if bool(passed):
+                    node = self.frame_count + i
+                    matched_node = int(np.asarray(self.db.frame_id)[int(slots[i][j])])
+                    self.graph = pose_graph.add_loop_edge(
+                        self.graph, matched_node, node,
+                        lie.se3_inverse(jnp.asarray(T_rel)), cfg.pose_graph,
+                    )
+                    self.graph = self._optimize(self.graph)
+                    self.num_loops += 1
+                    loop_frame = i
+            if loop_frame is not None:
+                # rebase the running pose on the optimized graph
+                node = self.frame_count + c - 1
+                self.T = np.asarray(pose_graph.get_pose(self.graph, node))
+
+            self.db = self._kf_insert(self.db, desc, xy, dvalid, fids,
+                                      jnp.asarray(poses_np))
+
+        for i in range(c):
+            self.trajectory.append((timestamps[i + 1], poses_np[i]))
+        self.frame_count += c
+
+    def _frame_feats(self, desc, xy, dvalid, i):
+        from aria_slam_tpu.core.types import Features
+
+        k = desc.shape[1]
+        return Features(
+            xy=xy[i], response=jnp.zeros(k), angle=jnp.zeros(k),
+            octave=jnp.zeros(k, jnp.int32), size=jnp.zeros(k),
+            desc=desc[i], valid=dvalid[i],
+        )
+
+    def finalize(self):
+        g = pose_graph.optimize(self.graph, self.cfg.pose_graph,
+                                self.cfg.pose_graph.final_lm_iterations)
+        self.graph = g
+        n = len(self.trajectory)
+        poses = np.asarray(g.node_pose[:n])
+        self.trajectory = [(ts, poses[i]) for i, (ts, _) in
+                           enumerate(self.trajectory)]
+
+    def get_map(self):
+        return mapper.filter_outliers(self.map_state,
+                                      self.cfg.mapper.outlier_sigma)
+
+    def export_map(self, ply_path: Optional[str] = None,
+                   pcd_path: Optional[str] = None) -> int:
+        from aria_slam_tpu.mapping import export
+
+        m = self.get_map()
+        n = 0
+        if ply_path:
+            n = export.export_ply(m, ply_path)
+        if pcd_path:
+            n = export.export_pcd(m, pcd_path)
+        return n

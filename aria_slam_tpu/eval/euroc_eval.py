@@ -26,38 +26,67 @@ from aria_slam_tpu.io import euroc
 
 
 def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
-        config: PipelineConfig | None = None, verbose: bool = True) -> dict:
+        config: PipelineConfig | None = None, verbose: bool = True,
+        chunk: int = 0) -> dict:
+    """chunk = 0: online per-frame pipeline (reference parity).
+    chunk > 1: batched offline evaluation (TPU-native chunked windows)."""
     from aria_slam_tpu.pipeline.slam_pipeline import SlamPipeline
 
     data = euroc.load(dataset_path)
     config = config or PipelineConfig()
     config = dataclasses.replace(config, camera=data.camera)
-    pipe = SlamPipeline(config)
 
     n_frames = len(data.image_paths)
     if max_frames:
         n_frames = min(n_frames, max_frames)
 
     t_start = time.perf_counter()
-    t_prev = -np.inf
     frame_times = []
-    for k in range(n_frames):
-        ts = data.image_ts[k]
-        img = euroc.load_image(data.image_paths[k])
-        imu_t, imu_a, imu_g = euroc.imu_window(data, t_prev, ts)
-        for j in range(len(imu_t)):
-            pipe.process_imu(imu_t[j], imu_a[j], imu_g[j])
-        f0 = time.perf_counter()
-        pipe.process_frame(img, ts)
-        frame_times.append(time.perf_counter() - f0)
-        t_prev = ts
 
-        if verbose and (k + 1) % 100 == 0:
-            fps = (k + 1) / (time.perf_counter() - t_start)
-            print(
-                f"[{k + 1}/{n_frames}] fps={fps:.1f} "
-                f"map={int(pipe.state.map_state.count)} loops={pipe.num_loops}"
-            )
+    if chunk and chunk > 1:
+        from aria_slam_tpu.eval.chunked import ChunkedSlam
+
+        pipe = ChunkedSlam(config, chunk=chunk)
+        # fixed chunk size => one compile; iterate with 1-frame overlap
+        k = 0
+        while k + 1 < n_frames:
+            hi = min(k + chunk, n_frames - 1)
+            idxs = list(range(k, hi + 1))
+            if len(idxs) < chunk + 1:  # pad by repeating the last frame
+                idxs = idxs + [idxs[-1]] * (chunk + 1 - len(idxs))
+            frames = np.stack([euroc.load_image(data.image_paths[i])
+                               for i in idxs])
+            ts = [data.image_ts[i] for i in idxs]
+            f0 = time.perf_counter()
+            pipe.process_chunk(frames, ts)
+            frame_times.append((time.perf_counter() - f0) / chunk)
+            k = hi
+            if verbose and (k + 1) % 96 < chunk:
+                fps = (k + 1) / (time.perf_counter() - t_start)
+                print(f"[{k + 1}/{n_frames}] fps={fps:.1f} "
+                      f"map={int(pipe.map_state.count)} loops={pipe.num_loops}")
+        # drop duplicated padding trajectory entries
+        pipe.trajectory = pipe.trajectory[:n_frames]
+    else:
+        pipe = SlamPipeline(config)
+        t_prev = -np.inf
+        for k in range(n_frames):
+            ts = data.image_ts[k]
+            img = euroc.load_image(data.image_paths[k])
+            imu_t, imu_a, imu_g = euroc.imu_window(data, t_prev, ts)
+            for j in range(len(imu_t)):
+                pipe.process_imu(imu_t[j], imu_a[j], imu_g[j])
+            f0 = time.perf_counter()
+            pipe.process_frame(img, ts)
+            frame_times.append(time.perf_counter() - f0)
+            t_prev = ts
+
+            if verbose and (k + 1) % 100 == 0:
+                fps = (k + 1) / (time.perf_counter() - t_start)
+                print(
+                    f"[{k + 1}/{n_frames}] fps={fps:.1f} "
+                    f"map={int(pipe.state.map_state.count)} loops={pipe.num_loops}"
+                )
 
     pipe.finalize()
 
@@ -136,6 +165,9 @@ def main():
     ap.add_argument("--vo-only", action="store_true",
                     help="disable fusion/loop/mapping (BASELINE config 1)")
     ap.add_argument("--no-loop", action="store_true")
+    ap.add_argument("--chunk", type=int, default=0,
+                    help=">1: batched offline evaluation with this many "
+                         "frame pairs per program call (TPU-native)")
     args = ap.parse_args()
 
     cfg = PipelineConfig.from_yaml(args.config) if args.config else PipelineConfig()
@@ -145,7 +177,7 @@ def main():
         )
     if args.no_loop:
         cfg = dataclasses.replace(cfg, enable_loop_closure=False)
-    run(args.dataset, args.out, args.max_frames, cfg)
+    run(args.dataset, args.out, args.max_frames, cfg, chunk=args.chunk)
 
 
 if __name__ == "__main__":

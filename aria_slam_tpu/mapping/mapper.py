@@ -125,6 +125,28 @@ def add_from_matches(m: MapState, K, T1_cw, T2_cw, uv1, uv2, valid, image1,
     return insert_points(m, pts, cols, qual, keep)
 
 
+def add_from_matches_batched(m: MapState, K, T1s_cw, T2s_cw, uv1s, uv2s,
+                             valids, images, cfg: MapperConfig) -> MapState:
+    """Batched insert for offline chunked evaluation: triangulate C frame
+    pairs at once (T*s (C, 4, 4), uv*s (C, N, 2), valids (C, N),
+    images (C, H, W) or None) and scatter all survivors in one update."""
+    c, n = valids.shape
+
+    def one(T1, T2, uv1, uv2, valid, image):
+        enough = jnp.sum(valid.astype(jnp.int32)) >= 8
+        pts, cols, qual, keep = triangulate_and_filter(
+            K, T1, T2, uv1, uv2, valid, image, cfg
+        )
+        return pts, cols, qual, keep & enough
+
+    pts, cols, qual, keep = jax.vmap(one)(T1s_cw, T2s_cw, uv1s, uv2s, valids,
+                                          images)
+    return insert_points(
+        m, pts.reshape(c * n, 3), cols.reshape(c * n, 3),
+        qual.reshape(c * n), keep.reshape(c * n),
+    )
+
+
 def filter_outliers(m: MapState, sigma: float = 3.0) -> MapState:
     """3-sigma statistical outlier removal on distance-to-centroid
     (parity: Mapper::filterOutliers, Mapper.cpp:134-165)."""

@@ -211,6 +211,24 @@ def estimate_relative_pose(
     )
 
 
+def scale_translation(delta: PoseDelta, xy1, xy2, valid, K,
+                      scene_depth: float) -> jnp.ndarray:
+    """Median-depth scale normalization: rescale the unit translation so
+    the median triangulated depth of the inliers equals `scene_depth`.
+    Keeps monocular trajectories metrically consistent up to ONE global
+    scale (the reference accumulates |t| = 1 per frame)."""
+    p1 = normalize_points(xy1, K)
+    p2 = normalize_points(xy2, K)
+    z1, _ = triangulate_depths(delta.R, delta.t, p1, p2)
+    good = delta.inlier_mask & valid & (z1 > 1e-3)
+    zs = jnp.sort(jnp.where(good, z1, jnp.inf))
+    cnt = jnp.sum(good.astype(jnp.int32))
+    med = zs[jnp.clip(cnt // 2, 0, zs.shape[0] - 1)]
+    ok = (cnt >= 20) & jnp.isfinite(med)
+    scale = jnp.where(ok, scene_depth / jnp.maximum(med, 1e-3), 1.0)
+    return delta.t * jnp.clip(scale, 0.01, 100.0)
+
+
 def gather_correspondences(f1_xy, f2_xy, matches: Matches):
     """Matches -> aligned (N, 2) coordinate arrays + mask."""
     xy1 = f1_xy[matches.query_idx]

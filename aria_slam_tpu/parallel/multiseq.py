@@ -23,22 +23,28 @@ from aria_slam_tpu.ops import epipolar, match as match_ops, orb
 
 
 def batched_frontend(cfg: PipelineConfig):
-    """(B, H, W) pairs of frames -> batched VO deltas; vmapped front-end
-    ready to pjit over the 'data' axis."""
+    """(B, H, W) pairs of frames -> batched VO deltas, ready to pjit
+    over the 'data' axis. Uses the natively-batched extract/match
+    (the Pallas kernels batch over a grid dim; vmap over them is
+    unsupported)."""
     K = jnp.asarray(cfg.camera.K)
 
-    def one(img1, img2, key):
-        f1 = orb.extract(img1, cfg.orb)
-        f2 = orb.extract(img2, cfg.orb)
-        m = match_ops.match(f2, f1, cfg.matcher.ratio)
-        xy_prev = f1.xy[m.train_idx]
-        xy_cur = f2.xy[m.query_idx]
-        delta = epipolar.estimate_relative_pose(
-            xy_prev, xy_cur, m.valid, K, cfg.ransac, key
-        )
-        return delta.R, delta.t, delta.num_inliers
+    def run(img1s, img2s, keys):
+        f1 = orb.extract_batch(img1s, cfg.orb)
+        f2 = orb.extract_batch(img2s, cfg.orb)
+        m = match_ops.match_batched(f2, f1, cfg.matcher.ratio)
 
-    return jax.vmap(one)
+        def pose_one(f1_, f2_, m_, k):
+            xy_prev = jnp.take_along_axis(f1_.xy, m_.train_idx[:, None], 0)
+            delta = epipolar.estimate_relative_pose(
+                xy_prev, f2_.xy, m_.valid & f1_.valid[m_.train_idx],
+                K, cfg.ransac, k,
+            )
+            return delta.R, delta.t, delta.num_inliers
+
+        return jax.vmap(pose_one)(f1, f2, m, keys)
+
+    return run
 
 
 def shard_batched_frontend(mesh: Mesh, cfg: PipelineConfig):

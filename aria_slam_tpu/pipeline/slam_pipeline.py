@@ -147,7 +147,13 @@ def make_frame_step(
             xy_prev, xy_cur, m_valid, K, cfg.ransac, k_ransac
         )
         # delta: X_cur = R X_prev + t (cam_cur-from-cam_prev)
-        T_cur_prev = lie.se3_matrix(delta.R, delta.t)
+        if cfg.vo_scale_mode == "median_depth":
+            t_use = epipolar.scale_translation(
+                delta, xy_prev, xy_cur, m_valid, K, cfg.vo_scene_depth
+            )
+        else:
+            t_use = delta.t
+        T_cur_prev = lie.se3_matrix(delta.R, t_use)
         pose_new = state.pose @ lie.se3_inverse(T_cur_prev)
         vo_ok = delta.success & state.prev_valid
         pose_new = jnp.where(vo_ok, pose_new, state.pose)
