@@ -122,6 +122,10 @@ class MapperConfig:
     min_parallax_deg: float = 1.0
     max_reproj_error_px: float = 2.0
     outlier_sigma: float = 3.0  # statistical filter (Mapper.cpp:134-165)
+    # chunked mode: triangulate frame i against frame i-pair_lag (wider
+    # baseline than consecutive frames, which fall under the parallax
+    # gate at 20 fps); poses are already known, so no extra RANSAC
+    pair_lag: int = 4
 
 
 @dataclasses.dataclass(frozen=True)

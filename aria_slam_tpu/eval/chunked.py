@@ -40,6 +40,8 @@ class ChunkedSlam:
 
         cfg = config
         K = self.K
+        self.lag = max(1, min(cfg.mapper.pair_lag, chunk))
+        lag = self.lag
 
         def frontend(frames, key):
             feats = orb.extract_batch(frames, cfg.orb)
@@ -60,26 +62,39 @@ class ChunkedSlam:
                     )
                 else:
                     t_use = delta.t
-                tri_mask = valid & delta.inlier_mask & delta.success
-                return (delta.R, t_use, delta.success, delta.num_inliers,
-                        xy_prev, cf.xy, tri_mask)
+                return delta.R, t_use, delta.success, delta.num_inliers
 
-            R, t, ok, ninl, uv_prev, uv_cur, tri = jax.vmap(pose_one)(
-                prev, cur, m, keys
+            R, t, ok, ninl = jax.vmap(pose_one)(prev, cur, m, keys)
+
+            # wide-baseline pairs (i-lag, i) for triangulation: consecutive
+            # 20 fps frames sit under the 1-degree parallax gate
+            lprev = jax.tree_util.tree_map(lambda x: x[:-lag], feats)
+            lcur = jax.tree_util.tree_map(lambda x: x[lag:], feats)
+            ml = match_ops.match_batched(lcur, lprev, cfg.matcher.ratio)
+            uvl_prev = jnp.take_along_axis(
+                lprev.xy, ml.train_idx[..., None], 1
             )
+            lvalid = ml.valid & jnp.take_along_axis(
+                lprev.valid, ml.train_idx, 1
+            )
+
             hists = keyframe_db.descriptor_histogram(
                 cur.desc, cur.valid
             )  # (C, 256)
-            return (R, t, ok, ninl, uv_prev, uv_cur, tri,
+            return (R, t, ok, ninl, uvl_prev, lcur.xy, lvalid,
                     cur.desc, cur.xy, cur.valid, hists)
 
         self._frontend = jax.jit(frontend)
+        # donated carries: DB/map/graph hold large padded buffers — without
+        # donation every functional update copies them
         self._map_insert = jax.jit(
             lambda m, T1, T2, uv1, uv2, v, imgs: mapper.add_from_matches_batched(
-                m, K, T1, T2, uv1, uv2, v, imgs, cfg.mapper)
+                m, K, T1, T2, uv1, uv2, v, imgs, cfg.mapper),
+            donate_argnums=(0,),
         )
-        self._extend = jax.jit(pose_graph.extend_chain)
-        self._kf_insert = jax.jit(keyframe_db.add_keyframes_batch)
+        self._extend = jax.jit(pose_graph.extend_chain, donate_argnums=(0,))
+        self._kf_insert = jax.jit(keyframe_db.add_keyframes_batch,
+                                  donate_argnums=(0,))
         self._lc_candidates = jax.jit(
             lambda db, h, f: loop_closure.batch_candidates(db, h, f, cfg.loop)
         )
@@ -87,9 +102,52 @@ class ChunkedSlam:
             lambda db, feats, slot, k: loop_closure.verify_candidate(
                 db, feats, slot, K, cfg.loop, cfg.ransac, k)
         )
-        self._lc_score = jax.jit(
-            lambda db, feats, slots: loop_closure.score_candidates(
-                db, feats, slots, cfg.loop)
+
+        def scores_chunk(db, desc, dvalid, slots):
+            """Exact match scores for every (chunk frame, candidate) pair
+            as ONE fused matcher call: pairs = C x PREFILTER_K, query
+            descriptors repeated per candidate, candidate descriptors
+            gathered from the DB. The naive (F, k*F) distance tiles cost
+            ~6 GB of HBM traffic per chunk; the fused kernel never
+            materializes them."""
+            from aria_slam_tpu.ops.fast import use_pallas
+
+            c, kq, bits = desc.shape
+            k = slots.shape[1]
+            q = jnp.repeat(desc, k, axis=0)               # (C*k, F, B)
+            qv = jnp.repeat(dvalid, k, axis=0)            # (C*k, F)
+            t = db.desc[slots.reshape(-1)]                # (C*k, F, B)
+            tv = db.desc_valid[slots.reshape(-1)]         # (C*k, F)
+
+            if use_pallas():
+                from aria_slam_tpu.ops.pallas.match_kernel import (
+                    match_top2_batched,
+                )
+
+                best, second, _ = match_top2_batched(q, t, tv)
+            else:
+                from aria_slam_tpu.ops.match import hamming_matrix, top2_min
+
+                def one(qd, td, tvv):
+                    return top2_min(hamming_matrix(qd, td, tvv))
+
+                best, second, _ = jax.vmap(one)(q, t, tv)
+
+            good = (
+                qv
+                & (best.astype(jnp.float32)
+                   < cfg.loop.ratio * second.astype(jnp.float32))
+                & (best < (1 << 20))
+            )
+            num_q = jnp.maximum(jnp.sum(dvalid.astype(jnp.float32), 1), 1.0)
+            counts = jnp.sum(good.astype(jnp.float32), 1).reshape(c, k)
+            return counts / num_q[:, None]  # (C, k)
+
+        self._lc_scores_chunk = jax.jit(scores_chunk)
+        self._add_loop = jax.jit(
+            lambda g, i, j, rel: pose_graph.add_loop_edge(g, i, j, rel,
+                                                          cfg.pose_graph),
+            donate_argnums=(0,),
         )
         self._optimize = jax.jit(lambda g: pose_graph.optimize(g, cfg.pose_graph))
 
@@ -110,7 +168,7 @@ class ChunkedSlam:
         cfg = self.cfg
         self._key, k1, k2 = jax.random.split(self._key, 3)
         fr = jnp.asarray(frames, jnp.float32)
-        (R, t, ok, ninl, uv_prev, uv_cur, tri, desc, xy, dvalid, hists) = (
+        (R, t, ok, ninl, uvl_prev, uvl_cur, lvalid, desc, xy, dvalid, hists) = (
             self._frontend(fr, k1)
         )
         R = np.asarray(R); t = np.asarray(t); ok = np.asarray(ok)
@@ -143,13 +201,14 @@ class ChunkedSlam:
         self.graph = self._extend(self.graph, jnp.asarray(poses_np),
                                   jnp.asarray(rels), first_node)
 
-        # ---- mapping (camera-from-world for both pair ends)
+        # ---- mapping over lag pairs (i-lag, i): camera-from-world ends
         if cfg.enable_mapping:
-            prev_poses = np.stack([self.trajectory[-1][1]] + poses[:-1])
-            T1 = jnp.asarray(np.linalg.inv(prev_poses))
-            T2 = jnp.asarray(np.linalg.inv(poses_np))
+            lag = self.lag
+            all_poses = [self.trajectory[-1][1]] + poses  # index i <-> frame k0+i
+            T1 = jnp.asarray(np.linalg.inv(np.stack(all_poses[: c + 1 - lag])))
+            T2 = jnp.asarray(np.linalg.inv(np.stack(all_poses[lag:])))
             self.map_state = self._map_insert(
-                self.map_state, T1, T2, uv_prev, uv_cur, tri, fr[1:]
+                self.map_state, T1, T2, uvl_prev, uvl_cur, lvalid, fr[lag:]
             )
 
         # ---- loop closure (prefilter chunk, verify best candidates)
@@ -159,29 +218,33 @@ class ChunkedSlam:
             fids = jnp.asarray(self.frame_count + np.arange(c), jnp.int32)
             sims, slots = self._lc_candidates(self.db, hists, fids)
             sims = np.asarray(sims)
-            loop_frame = None
-            for i in range(c):
-                if sims[i, 0] <= 0:
-                    continue
-                feats_i = self._frame_feats(desc, xy, dvalid, i)
-                scores = np.asarray(self._lc_score(self.db, feats_i, slots[i]))
-                j = int(scores.argmax())
-                if scores[j] < cfg.loop.min_score:
-                    continue
-                passed, ninl_l, T_rel = self._lc_verify(
-                    self.db, feats_i, slots[i][j], k2
-                )
-                if bool(passed):
-                    node = self.frame_count + i
-                    matched_node = int(np.asarray(self.db.frame_id)[int(slots[i][j])])
-                    self.graph = pose_graph.add_loop_edge(
-                        self.graph, matched_node, node,
-                        lie.se3_inverse(jnp.asarray(T_rel)), cfg.pose_graph,
+            loop_found = False
+            if (sims[:, 0] > 0).any():
+                scores = np.array(
+                    self._lc_scores_chunk(self.db, desc, dvalid, slots)
+                )  # (C, k) — np.array: writable copy
+                scores[sims <= 0] = -1.0
+                # verify only the best candidate of the chunk (at most one
+                # loop per chunk; loops are > min_frames_between apart)
+                i, j = np.unravel_index(scores.argmax(), scores.shape)
+                if scores[i, j] >= cfg.loop.min_score:
+                    feats_i = self._frame_feats(desc, xy, dvalid, int(i))
+                    passed, ninl_l, T_rel = self._lc_verify(
+                        self.db, feats_i, slots[int(i)][int(j)], k2
                     )
-                    self.graph = self._optimize(self.graph)
-                    self.num_loops += 1
-                    loop_frame = i
-            if loop_frame is not None:
+                    if bool(passed):
+                        node = self.frame_count + int(i)
+                        matched_node = int(
+                            np.asarray(self.db.frame_id)[int(slots[int(i)][int(j)])]
+                        )
+                        self.graph = self._add_loop(
+                            self.graph, matched_node, node,
+                            lie.se3_inverse(jnp.asarray(T_rel)),
+                        )
+                        self.graph = self._optimize(self.graph)
+                        self.num_loops += 1
+                        loop_found = True
+            if loop_found:
                 # rebase the running pose on the optimized graph
                 node = self.frame_count + c - 1
                 self.T = np.asarray(pose_graph.get_pose(self.graph, node))

@@ -249,8 +249,12 @@ class SlamPipeline:
     def __init__(self, config: PipelineConfig | None = None, *,
                  extractor=None, matcher=None, detector=None, seed: int = 0):
         self.config = config or PipelineConfig()
+        # donate the carry: the FrameState holds the keyframe DB
+        # (~260 MB at full size) and map buffers — without donation every
+        # step would copy them for the functional .at updates
         self._step = jax.jit(
-            make_frame_step(self.config, extractor, matcher, detector)
+            make_frame_step(self.config, extractor, matcher, detector),
+            donate_argnums=(0,),
         )
         self._optimize = jax.jit(
             lambda g: pose_graph.optimize(g, self.config.pose_graph)
