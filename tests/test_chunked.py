@@ -1,0 +1,102 @@
+"""Chunked offline evaluator: equivalence with the online pipeline on
+the synthetic scene, plus the chunk-support primitives."""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import tests.test_pipeline as tp
+from aria_slam_tpu.backend import keyframe_db, pose_graph
+from aria_slam_tpu.config import LoopClosureConfig, OrbConfig, PoseGraphConfig
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    from aria_slam_tpu.io import synthetic_scene
+
+    out = tmp_path_factory.mktemp("scene_chunked")
+    synthetic_scene.generate(str(out), num_frames=13, fps=5.0,
+                             cam=tp.SMALL_CAM, depth=4.0)
+    return str(out)
+
+
+def test_chunked_eval_end_to_end(scene_dir):
+    from aria_slam_tpu.eval import euroc_eval
+
+    cfg = dataclasses.replace(tp.SMALL_CFG, enable_loop_closure=True)
+    res = euroc_eval.run(scene_dir, out_dir="/tmp/chunked_test_out",
+                         config=cfg, verbose=False, chunk=4)
+    assert res["frames"] == 13
+    assert res["map_points"] > 50
+    assert np.isfinite(res["ate_rmse_m"])
+    assert res["ate_rmse_m"] < 0.5, f"ATE {res['ate_rmse_m']:.3f}"
+    import os
+
+    assert os.path.exists("/tmp/chunked_test_out/estimated_trajectory.txt")
+    lines = open("/tmp/chunked_test_out/estimated_trajectory.txt").read().splitlines()
+    assert len(lines) == 13
+
+
+def test_extend_chain_matches_incremental():
+    cfg = PoseGraphConfig(max_nodes=32, max_edges=64)
+    g1 = pose_graph.init_graph(cfg)
+    g1 = pose_graph.set_node(g1, 0, jnp.eye(4))
+    g2 = g1
+
+    rng = np.random.default_rng(0)
+    from aria_slam_tpu.core import lie
+
+    poses, rels = [], []
+    T = np.eye(4, dtype=np.float32)
+    for k in range(6):
+        xi = 0.1 * rng.normal(size=6).astype(np.float32)
+        rel = np.asarray(lie.se3_exp(jnp.asarray(xi)))
+        T = T @ rel
+        poses.append(T.copy())
+        rels.append(rel)
+
+    # incremental
+    for k in range(6):
+        g1 = pose_graph.set_node(g1, k + 1, jnp.asarray(poses[k]))
+        g1 = pose_graph.add_odometry_edge(g1, k, k + 1, jnp.asarray(rels[k]), cfg)
+    # batched
+    g2 = pose_graph.extend_chain(g2, jnp.asarray(np.stack(poses)),
+                                 jnp.asarray(np.stack(rels)), 1)
+
+    np.testing.assert_allclose(np.asarray(g1.node_pose[:7]),
+                               np.asarray(g2.node_pose[:7]), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(g1.edge_i[:6]), np.asarray(g2.edge_i[:6]))
+    assert int(g1.num_edges) == int(g2.num_edges)
+    np.testing.assert_allclose(np.asarray(g1.edge_rel[:6]),
+                               np.asarray(g2.edge_rel[:6]), atol=1e-6)
+
+
+def test_add_keyframes_batch_matches_incremental():
+    lc = LoopClosureConfig(max_keyframes=8)
+    orbc = OrbConfig(num_features=32)
+    rng = np.random.default_rng(1)
+    desc = rng.integers(0, 2, (3, 32, 256)).astype(np.int8)
+    xy = rng.uniform(0, 100, (3, 32, 2)).astype(np.float32)
+    valid = np.ones((3, 32), bool)
+    poses = np.tile(np.eye(4, dtype=np.float32), (3, 1, 1))
+
+    db1 = keyframe_db.init_db(lc, orbc)
+    from aria_slam_tpu.core.types import Features
+
+    for i in range(3):
+        f = Features(xy=jnp.asarray(xy[i]), response=jnp.zeros(32),
+                     angle=jnp.zeros(32), octave=jnp.zeros(32, jnp.int32),
+                     size=jnp.zeros(32), desc=jnp.asarray(desc[i]),
+                     valid=jnp.asarray(valid[i]))
+        db1 = keyframe_db.add_keyframe(db1, f, i, jnp.asarray(poses[i]))
+
+    db2 = keyframe_db.init_db(lc, orbc)
+    db2 = keyframe_db.add_keyframes_batch(
+        db2, jnp.asarray(desc), jnp.asarray(xy), jnp.asarray(valid),
+        jnp.arange(3), jnp.asarray(poses),
+    )
+    np.testing.assert_array_equal(np.asarray(db1.desc), np.asarray(db2.desc))
+    np.testing.assert_allclose(np.asarray(db1.hist), np.asarray(db2.hist), atol=1e-6)
+    assert int(db1.head) == int(db2.head) == 3
