@@ -23,8 +23,8 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-CHUNK = 16  # frame pairs per program call
-NUM_CHUNKS = 6
+CHUNK = 64  # frame pairs per program call
+NUM_CHUNKS = 4
 
 
 def main():
