@@ -44,7 +44,11 @@ class ChunkedSlam:
         lag = self.lag
 
         def frontend(frames, key):
+            from aria_slam_tpu.ops.undistort import undistort_points
+
             feats = orb.extract_batch(frames, cfg.orb)
+            # undistort keypoints once; all geometry downstream is pinhole
+            feats = feats.replace(xy=undistort_points(feats.xy, cfg.camera))
             prev = jax.tree_util.tree_map(lambda x: x[:-1], feats)
             cur = jax.tree_util.tree_map(lambda x: x[1:], feats)
             m = match_ops.match_batched(cur, prev, cfg.matcher.ratio)

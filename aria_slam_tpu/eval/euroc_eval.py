@@ -107,6 +107,32 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
     est_ts = np.array([t for t, _ in pipe.trajectory])
     est_pos = np.array([T[:3, 3] for _, T in pipe.trajectory])
 
+    # chunked mode handles IMU post-hoc: fuse the 200 Hz stream with the
+    # VO poses through the 15-state EKF over the whole sequence at once
+    # (SURVEY §3.3's merged-stream lax.scan); the VIO trajectory is
+    # reported alongside (the reference's euroc_eval also keeps the raw
+    # VO trajectory as its estimate, euroc_eval.cpp:203-209)
+    fused_pos = None
+    if chunk and chunk > 1 and config.enable_fusion and len(data.imu_ts):
+        import jax.numpy as jnp
+
+        from aria_slam_tpu.fusion import ekf as ekf_mod
+
+        t0_seq = float(est_ts[0])
+        lo = np.searchsorted(data.imu_ts, est_ts[0])
+        hi = np.searchsorted(data.imu_ts, est_ts[-1], side="right")
+        vo_R = np.array([T[:3, :3] for _, T in pipe.trajectory], np.float32)
+        fused_p, _ = ekf_mod.run_sequence(
+            jnp.asarray((data.imu_ts[lo:hi] - t0_seq).astype(np.float32)),
+            jnp.asarray(data.imu_accel[lo:hi].astype(np.float32)),
+            jnp.asarray(data.imu_gyro[lo:hi].astype(np.float32)),
+            jnp.asarray((est_ts - t0_seq).astype(np.float32)),
+            jnp.asarray(vo_R),
+            jnp.asarray(est_pos.astype(np.float32)),
+            config.ekf,
+        )
+        fused_pos = np.asarray(fused_p)
+
     # associate with ground truth by interpolation
     gt_pos = []
     keep = []
@@ -165,6 +191,11 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
         "ate_rmse_m": ate,
         "rpe_rmse_m": rpe,
     }
+    if fused_pos is not None and len(gt_pos):
+        results["ate_fused_rmse_m"] = metrics.ate_rmse(fused_pos[keep], gt_pos)
+        with open(os.path.join(out_dir, "fused_trajectory.txt"), "w") as f:
+            for tt, p in zip(est_ts, fused_pos):
+                f.write(f"{tt:.9f} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
     if verbose:
         print("==== results ====")
         for k_, v in results.items():

@@ -125,6 +125,10 @@ def make_frame_step(
 
         # ---- perception: ORB ∥ object detection (independent subgraphs)
         feats = extractor(image)
+        # undistort keypoints once; all geometry downstream is pinhole
+        from aria_slam_tpu.ops.undistort import undistort_points
+
+        feats = feats.replace(xy=undistort_points(feats.xy, cfg.camera))
         if cfg.enable_detection and detector is not None:
             dets = detector(image)
         else:
