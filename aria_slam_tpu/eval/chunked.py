@@ -13,7 +13,6 @@ snapshot (the <= C-frame lag is harmless next to min_frames_between).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Optional
 
 import numpy as np

@@ -17,7 +17,7 @@ MXU's fast path; the geometry stack pins f32 (see package __init__).
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax

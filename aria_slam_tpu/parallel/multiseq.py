@@ -10,9 +10,6 @@ single-chip path — only the shardings differ.
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import optax

@@ -11,11 +11,9 @@ megabytes).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from aria_slam_tpu.ops.match import match_scores_vs_database
 

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from aria_slam_tpu.config import PipelineConfig
-from aria_slam_tpu.core.types import Features, Matches
+from aria_slam_tpu.core.types import Features
 from aria_slam_tpu.pipeline.slam_pipeline import SlamPipeline
 
 

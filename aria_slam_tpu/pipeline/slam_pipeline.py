@@ -20,7 +20,6 @@ on-loop optimize(10) (euroc_eval.cpp:236-239).
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable, Optional
 
 import flax.struct
