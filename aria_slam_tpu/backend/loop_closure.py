@@ -44,7 +44,8 @@ class LoopResult:
     score: jnp.ndarray        # () float32 — place-recognition score
     num_inliers: jnp.ndarray  # () int32
     T_rel: jnp.ndarray        # (4, 4) — candidate-cam-from-current-cam motion
-                              # (unit-scale translation, monocular)
+                              # (translation metric-scaled when scale_mode=
+                              # "median_depth", else unit-norm monocular)
 
 
 def _gated_candidates(db: KeyframeDB, hist_q, frame_id, cfg, k):
@@ -101,6 +102,8 @@ def detect(
     cfg: LoopClosureConfig,
     ransac: RansacConfig,
     key: jax.Array,
+    scale_mode: str = "unit",
+    scene_depth: float = 4.0,
 ) -> LoopResult:
     from aria_slam_tpu.backend.keyframe_db import descriptor_histogram
 
@@ -136,7 +139,17 @@ def detect(
             & delta.success
             & (delta.num_inliers >= cfg.min_matches)
         )
-        T = lie.se3_matrix(delta.R, delta.t)
+        # scale the loop translation with the SAME depth statistic the
+        # odometry uses, so loop edges don't fight the odometry scale in
+        # the pose graph (the reference keeps |t|=1, LoopClosure.cpp:176-183
+        # — a flaw its own scale-free VO hides; ours is scale-normalized)
+        if scale_mode == "median_depth":
+            t_use = epipolar.scale_translation(
+                delta, xy_q, xy_t, ok, K, scene_depth
+            )
+        else:
+            t_use = delta.t
+        T = lie.se3_matrix(delta.R, t_use)
         return passed, delta.num_inliers, T
 
     passed, inliers, Ts = jax.vmap(verify)(top_slots, top_scores, keys)
@@ -170,9 +183,10 @@ def score_candidates(db: KeyframeDB, feats: Features, slots, cfg):
 
 
 def verify_candidate(db: KeyframeDB, feats: Features, slot, K,
-                     cfg: LoopClosureConfig, ransac: RansacConfig, key):
+                     cfg: LoopClosureConfig, ransac: RansacConfig, key,
+                     scale_mode: str = "unit", scene_depth: float = 4.0):
     """Geometric verification of one (query, DB slot) pair ->
-    (passed, num_inliers, T_rel)."""
+    (passed, num_inliers, T_rel) with T_rel = T_matched_from_current."""
     loop_ransac = dataclasses.replace(
         ransac, inlier_threshold_px=cfg.verify_threshold_px,
         min_inliers=cfg.min_matches,
@@ -180,4 +194,8 @@ def verify_candidate(db: KeyframeDB, feats: Features, slot, K,
     xy_q, xy_t, ok = _match_against_slot(feats, db, slot, cfg.ratio)
     delta = epipolar.estimate_relative_pose(xy_q, xy_t, ok, K, loop_ransac, key)
     passed = delta.success & (delta.num_inliers >= cfg.min_matches)
-    return passed, delta.num_inliers, lie.se3_matrix(delta.R, delta.t)
+    if scale_mode == "median_depth":
+        t_use = epipolar.scale_translation(delta, xy_q, xy_t, ok, K, scene_depth)
+    else:
+        t_use = delta.t
+    return passed, delta.num_inliers, lie.se3_matrix(delta.R, t_use)

@@ -76,17 +76,20 @@ def extend_chain(g: PoseGraph, poses, rels, first_node) -> PoseGraph:
     first_node = jnp.asarray(first_node, jnp.int32)
     node_idx = first_node + jnp.arange(c, dtype=jnp.int32)
     ecap = g.edge_i.shape[0]
-    edge_slots = jnp.minimum(g.num_edges + jnp.arange(c, dtype=jnp.int32),
-                             ecap - 1)
+    # overflowing slots must be DROPPED, not clamped: a clamp would keep
+    # overwriting the last valid edge once the buffer fills (parity with
+    # _add_edge's no-op overflow)
+    edge_slots = g.num_edges + jnp.arange(c, dtype=jnp.int32)
     return g.replace(
-        node_pose=g.node_pose.at[node_idx].set(poses),
-        node_valid=g.node_valid.at[node_idx].set(True),
-        edge_i=g.edge_i.at[edge_slots].set(node_idx - 1),
-        edge_j=g.edge_j.at[edge_slots].set(node_idx),
-        edge_rel=g.edge_rel.at[edge_slots].set(rels),
-        edge_weight=g.edge_weight.at[edge_slots].set(1.0),
-        edge_valid=g.edge_valid.at[edge_slots].set(True),
-        num_nodes=jnp.maximum(g.num_nodes, first_node + c),
+        node_pose=g.node_pose.at[node_idx].set(poses, mode="drop"),
+        node_valid=g.node_valid.at[node_idx].set(True, mode="drop"),
+        edge_i=g.edge_i.at[edge_slots].set(node_idx - 1, mode="drop"),
+        edge_j=g.edge_j.at[edge_slots].set(node_idx, mode="drop"),
+        edge_rel=g.edge_rel.at[edge_slots].set(rels, mode="drop"),
+        edge_weight=g.edge_weight.at[edge_slots].set(1.0, mode="drop"),
+        edge_valid=g.edge_valid.at[edge_slots].set(True, mode="drop"),
+        num_nodes=jnp.minimum(jnp.maximum(g.num_nodes, first_node + c),
+                              g.node_pose.shape[0]),
         num_edges=jnp.minimum(g.num_edges + c, ecap),
     )
 

@@ -21,10 +21,12 @@ import jax
 import jax.numpy as jnp
 
 from aria_slam_tpu.config import PipelineConfig
-from aria_slam_tpu.core import lie
 from aria_slam_tpu.backend import keyframe_db, loop_closure, pose_graph
 from aria_slam_tpu.mapping import mapper
 from aria_slam_tpu.ops import epipolar, match as match_ops, orb
+
+
+VERIFY_MAX = 8  # loop-closure candidate pairs verified per chunk (vmapped)
 
 
 class ChunkedSlam:
@@ -101,10 +103,30 @@ class ChunkedSlam:
         self._lc_candidates = jax.jit(
             lambda db, h, f: loop_closure.batch_candidates(db, h, f, cfg.loop)
         )
-        self._lc_verify = jax.jit(
-            lambda db, feats, slot, k: loop_closure.verify_candidate(
-                db, feats, slot, K, cfg.loop, cfg.ransac, k)
-        )
+        def verify_batch(db, desc, xy, dvalid, fidx, slots, key):
+            """Vmapped geometric verification of up to VERIFY_MAX
+            (chunk frame, DB slot) pairs at once (parity: the reference
+            verifies top-5 candidates per frame, LoopClosure.cpp:41-66 —
+            the pairs are independent, so they batch)."""
+            from aria_slam_tpu.core.types import Features
+
+            kq = desc.shape[1]
+            keys = jax.random.split(key, fidx.shape[0])
+
+            def one(i, slot, k):
+                feats = Features(
+                    xy=xy[i], response=jnp.zeros(kq), angle=jnp.zeros(kq),
+                    octave=jnp.zeros(kq, jnp.int32), size=jnp.zeros(kq),
+                    desc=desc[i], valid=dvalid[i],
+                )
+                return loop_closure.verify_candidate(
+                    db, feats, slot, K, cfg.loop, cfg.ransac, k,
+                    cfg.vo_scale_mode, cfg.vo_scene_depth,
+                )
+
+            return jax.vmap(one)(fidx, slots, keys)
+
+        self._lc_verify_batch = jax.jit(verify_batch)
 
         def scores_chunk(db, desc, dvalid, slots):
             """Exact match scores for every (chunk frame, candidate) pair
@@ -182,24 +204,30 @@ class ChunkedSlam:
             self.trajectory.append((timestamps[0], self.T.copy()))
             self.frame_count = 1
 
-        # ---- accumulate world poses on host (4x4 chain, trivial)
+        # ---- accumulate world poses on host (4x4 chain, trivial).
+        # Edge measurements come from the MEASURED deltas, not from pose
+        # differences: after a loop closure rebases self.T the chained
+        # poses jump, and a pose-difference rel would leak that jump into
+        # a fake weight-1 odometry measurement.
         poses = []
+        rels = []
         T = self.T
         for i in range(c):
             if ok[i]:
                 T_cur_prev = np.eye(4, dtype=np.float32)
                 T_cur_prev[:3, :3] = R[i]
                 T_cur_prev[:3, 3] = t[i]
-                T = T @ np.linalg.inv(T_cur_prev)
+                rel = np.linalg.inv(T_cur_prev).astype(np.float32)
+            else:
+                rel = np.eye(4, dtype=np.float32)
+            T = T @ rel
             poses.append(T.copy())
+            rels.append(rel)
         self.T = T
         poses_np = np.stack(poses)
+        rels = np.stack(rels)
 
         # ---- pose graph chunk append
-        rels = np.stack(
-            [np.linalg.inv(a) @ b for a, b in
-             zip([self.trajectory[-1][1]] + poses[:-1], poses)]
-        )
         first_node = self.frame_count
         self.graph = self._extend(self.graph, jnp.asarray(poses_np),
                                   jnp.asarray(rels), first_node)
@@ -227,26 +255,48 @@ class ChunkedSlam:
                     self._lc_scores_chunk(self.db, desc, dvalid, slots)
                 )  # (C, k) — np.array: writable copy
                 scores[sims <= 0] = -1.0
-                # verify only the best candidate of the chunk (at most one
-                # loop per chunk; loops are > min_frames_between apart)
-                i, j = np.unravel_index(scores.argmax(), scores.shape)
-                if scores[i, j] >= cfg.loop.min_score:
-                    feats_i = self._frame_feats(desc, xy, dvalid, int(i))
-                    passed, ninl_l, T_rel = self._lc_verify(
-                        self.db, feats_i, slots[int(i)][int(j)], k2
+                # verify the top VERIFY_MAX scoring (frame, candidate)
+                # pairs of the chunk in ONE vmapped call (parity: the
+                # reference's per-frame top-5 verification loop); accept
+                # at most one passing candidate per frame, then optimize
+                # once with all accepted edges.
+                slots_np = np.asarray(slots)
+                flat_order = np.argsort(-scores.ravel())[:VERIFY_MAX]
+                sel = [p for p in flat_order
+                       if scores.ravel()[p] >= cfg.loop.min_score]
+                if sel:
+                    fidx = np.zeros(VERIFY_MAX, np.int32)
+                    sl = np.zeros(VERIFY_MAX, np.int32)
+                    live = np.zeros(VERIFY_MAX, bool)
+                    for n_, p in enumerate(sel):
+                        i, j = np.unravel_index(p, scores.shape)
+                        fidx[n_] = i
+                        sl[n_] = slots_np[i, j]
+                        live[n_] = True
+                    passed, _, T_rels = self._lc_verify_batch(
+                        self.db, desc, xy, dvalid,
+                        jnp.asarray(fidx), jnp.asarray(sl), k2,
                     )
-                    if bool(passed):
-                        node = self.frame_count + int(i)
-                        matched_node = int(
-                            np.asarray(self.db.frame_id)[int(slots[int(i)][int(j)])]
-                        )
+                    passed = np.asarray(passed) & live
+                    T_rels = np.asarray(T_rels)
+                    db_fids = np.asarray(self.db.frame_id)
+                    done_frames: set = set()
+                    for n_ in range(VERIFY_MAX):
+                        if not passed[n_] or int(fidx[n_]) in done_frames:
+                            continue
+                        done_frames.add(int(fidx[n_]))
+                        node = self.frame_count + int(fidx[n_])
+                        matched_node = int(db_fids[int(sl[n_])])
+                        # T_rel = T_{matched<-current}: exactly the edge
+                        # measurement T_i^-1 T_j for (i=matched, j=node)
                         self.graph = self._add_loop(
                             self.graph, matched_node, node,
-                            lie.se3_inverse(jnp.asarray(T_rel)),
+                            jnp.asarray(T_rels[n_]),
                         )
-                        self.graph = self._optimize(self.graph)
                         self.num_loops += 1
                         loop_found = True
+                    if loop_found:
+                        self.graph = self._optimize(self.graph)
             if loop_found:
                 # rebase the running pose on the optimized graph
                 node = self.frame_count + c - 1
@@ -258,16 +308,6 @@ class ChunkedSlam:
         for i in range(c):
             self.trajectory.append((timestamps[i + 1], poses_np[i]))
         self.frame_count += c
-
-    def _frame_feats(self, desc, xy, dvalid, i):
-        from aria_slam_tpu.core.types import Features
-
-        k = desc.shape[1]
-        return Features(
-            xy=xy[i], response=jnp.zeros(k), angle=jnp.zeros(k),
-            octave=jnp.zeros(k, jnp.int32), size=jnp.zeros(k),
-            desc=desc[i], valid=dvalid[i],
-        )
 
     def finalize(self):
         g = pose_graph.optimize(self.graph, self.cfg.pose_graph,

@@ -39,12 +39,27 @@ def _build() -> bool:
         return False
 
 
+def _stale() -> bool:
+    """True when any native source is newer than the built library, so a
+    stale binary is never silently preferred over edited sources."""
+    if not os.path.exists(_LIB_PATH):
+        return True
+    lib_mtime = os.path.getmtime(_LIB_PATH)
+    src_dir = os.path.join(_NATIVE_DIR, "src")
+    deps = [os.path.join(_NATIVE_DIR, "Makefile")]
+    if os.path.isdir(src_dir):
+        deps += [os.path.join(src_dir, f) for f in os.listdir(src_dir)]
+    return any(
+        os.path.exists(d) and os.path.getmtime(d) > lib_mtime for d in deps
+    )
+
+
 def _load():
     global _lib, _build_failed
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        if not os.path.exists(_LIB_PATH) and not _build():
+        if _stale() and not _build() and not os.path.exists(_LIB_PATH):
             _build_failed = True
             return None
         lib = ctypes.CDLL(_LIB_PATH)

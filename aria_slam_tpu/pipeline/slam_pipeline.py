@@ -197,7 +197,8 @@ def make_frame_step(
         # ---- loop closure: query BEFORE inserting the current frame
         if cfg.enable_loop_closure:
             loop = loop_closure.detect(
-                state.db, feats, state.frame_id, K, cfg.loop, cfg.ransac, k_loop
+                state.db, feats, state.frame_id, K, cfg.loop, cfg.ransac, k_loop,
+                cfg.vo_scale_mode, cfg.vo_scene_depth,
             )
             db_new = keyframe_db.add_keyframe(state.db, feats, state.frame_id, pose_new)
         else:
@@ -327,10 +328,13 @@ class SlamPipeline:
         # (node 0 is the pre-first-frame origin)
         matched_node = int(out.loop.frame_id) + 1
         T_rel = jnp.asarray(out.loop.T_rel)
-        # T_rel: current-cam -> matched-cam; edge measures T_i^-1 T_j with
-        # i=matched, j=current: T_matched_from_current = inv(T_rel)
+        # T_rel maps current-cam points into matched-cam coords, i.e.
+        # T_rel = T_{matched<-current}. With world-from-camera node poses
+        # the edge (i=matched, j=current) measures T_i^-1 T_j =
+        # cam_matched-from-world @ world-from-cam_current =
+        # T_{matched<-current} — exactly T_rel, NOT its inverse.
         g = pose_graph.add_loop_edge(
-            self.state.graph, matched_node, cur, lie.se3_inverse(T_rel), cfgpg
+            self.state.graph, matched_node, cur, T_rel, cfgpg
         )
         g = self._optimize(g)
         new_pose = pose_graph.get_pose(g, cur)

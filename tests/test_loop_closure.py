@@ -85,6 +85,73 @@ def test_frame_gap_gate():
     assert not bool(res.detected)
 
 
+def test_loop_edge_convention_large_rotation():
+    """Pin the full T_rel convention chain under a LARGE relative
+    rotation: verify_candidate's T_rel must equal T_{matched<-current}
+    = inv(T_matched_wc) @ T_current_wc — the pose-graph edge measurement
+    for edge (i=matched, j=current) — with the metric translation scale
+    recovered by median-depth normalization (ADVICE r1 high finding)."""
+    from aria_slam_tpu.core import lie
+
+    rng = np.random.default_rng(5)
+    n = 256
+    scene_w = rng.uniform([-4, -3, 4], [4, 3, 12], size=(n, 3)).astype(np.float64)
+    desc = rng.integers(0, 2, size=(n, 256)).astype(np.int8)
+
+    T_m = np.eye(4, dtype=np.float32)  # matched keyframe: world origin
+    # current camera: 35 deg yaw + sideways translation
+    ang = np.deg2rad(35.0)
+    T_c = np.eye(4, dtype=np.float32)
+    T_c[:3, :3] = np.asarray(
+        lie.so3_exp(jnp.asarray([0.0, ang, 0.0], jnp.float32))
+    )
+    T_c[:3, 3] = [1.0, 0.2, 0.5]
+
+    def project(T_wc):
+        Tinv = np.linalg.inv(T_wc)
+        Xc = scene_w @ Tinv[:3, :3].T + Tinv[:3, 3]
+        uv = Xc[:, :2] / Xc[:, 2:3]
+        uv = uv * [458.0, 457.0] + [376.0, 240.0]
+        return uv.astype(np.float32), Xc[:, 2]
+
+    uv_m, _ = project(T_m)
+    uv_c, z_c = project(T_c)
+
+    def feats(uv, d):
+        return Features(
+            xy=jnp.asarray(uv), response=jnp.ones((n,), jnp.float32),
+            angle=jnp.zeros((n,), jnp.float32),
+            octave=jnp.zeros((n,), jnp.int32),
+            size=jnp.full((n,), 31.0, jnp.float32),
+            desc=jnp.asarray(d), valid=jnp.ones((n,), bool),
+        )
+
+    db = keyframe_db.init_db(LC, ORB)
+    db = keyframe_db.add_keyframe(db, feats(uv_m, desc), 0, jnp.asarray(T_m))
+
+    scene_depth = float(np.exp(np.mean(np.log(z_c))))  # geomean depth, cur cam
+    passed, ninl, T_rel = loop_closure.verify_candidate(
+        db, feats(uv_c, desc), 0, K, LC, RS, jax.random.key(3),
+        scale_mode="median_depth", scene_depth=scene_depth,
+    )
+    assert bool(passed) and int(ninl) > 100
+    T_rel = np.asarray(T_rel)
+    # verify_candidate estimates X_matched = R X_current + t (current-cam
+    # coords into matched-cam coords). With world-from-camera poses:
+    # X_m = inv(T_m) X_w and X_w = T_c X_c => X_m = inv(T_m) T_c X_c.
+    T_expected = np.linalg.inv(T_m) @ T_c
+    # rotation agreement (degrees)
+    dR = T_rel[:3, :3] @ T_expected[:3, :3].T
+    ang_err = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+    assert ang_err < 2.0, f"rotation error {ang_err:.2f} deg"
+    # metric translation: direction AND magnitude (median-depth scaled)
+    t_est, t_gt = T_rel[:3, 3], T_expected[:3, 3]
+    cos = t_est @ t_gt / (np.linalg.norm(t_est) * np.linalg.norm(t_gt))
+    assert cos > 0.98, f"translation direction cos {cos:.3f}"
+    ratio = np.linalg.norm(t_est) / np.linalg.norm(t_gt)
+    assert 0.8 < ratio < 1.25, f"translation scale ratio {ratio:.3f}"
+
+
 def test_ring_buffer_eviction():
     small = LoopClosureConfig(max_keyframes=4)
     db = keyframe_db.init_db(small, ORB)

@@ -104,3 +104,32 @@ def test_edge_overflow_is_safe():
         g = pg.add_odometry_edge(g, k, k + 1, jnp.eye(4), small)
     assert int(g.num_edges) == 4  # capacity clamp, no crash
     pg.optimize(g, small)  # must not blow up
+
+
+def test_extend_chain_overflow_preserves_existing_edges():
+    """Once the edge buffer is full, extend_chain must DROP overflowing
+    edges, not overwrite the last valid slot with wrong tuples."""
+    small = PoseGraphConfig(max_nodes=32, max_edges=4, lm_iterations=2)
+    g = pg.init_graph(small)
+    g = pg.set_node(g, 0, jnp.eye(4))
+    rel = np.tile(np.eye(4, dtype=np.float32), (3, 1, 1))
+    rel[:, 0, 3] = [1.0, 2.0, 3.0]
+    g = pg.extend_chain(g, jnp.asarray(rel), jnp.asarray(rel), 1)
+    assert int(g.num_edges) == 3
+
+    # second chunk: 3 more edges but only 1 slot left
+    rel2 = np.tile(np.eye(4, dtype=np.float32), (3, 1, 1))
+    rel2[:, 1, 3] = [9.0, 8.0, 7.0]
+    g = pg.extend_chain(g, jnp.asarray(rel2), jnp.asarray(rel2), 4)
+    assert int(g.num_edges) == 4  # clamped at capacity
+    # slot 3 (the last in-capacity slot) took edge (3, 4) with rel2[0]
+    np.testing.assert_allclose(np.asarray(g.edge_rel[3]), rel2[0], atol=1e-6)
+    assert (int(g.edge_i[3]), int(g.edge_j[3])) == (3, 4)
+    # third chunk: buffer full — NOTHING may change in the edge arrays
+    before = np.asarray(g.edge_rel).copy()
+    bi, bj = np.asarray(g.edge_i).copy(), np.asarray(g.edge_j).copy()
+    g = pg.extend_chain(g, jnp.asarray(rel2), jnp.asarray(rel2), 7)
+    assert int(g.num_edges) == 4
+    np.testing.assert_array_equal(np.asarray(g.edge_rel), before)
+    np.testing.assert_array_equal(np.asarray(g.edge_i), bi)
+    np.testing.assert_array_equal(np.asarray(g.edge_j), bj)
