@@ -1,0 +1,219 @@
+"""Detector training: anchor-free assignment + DFL/BCE loss, plus a
+synthetic-shapes task proving the YOLO architecture learns localization.
+
+The reference consumes a pre-trained engine (scripts/generate_engine.sh)
+and never trains; this module exists because (a) the converted-weights
+path (models/convert_weights.py) needs a checkpoint that may not be
+available on a given machine, and (b) an end-to-end trainable detector
+is required to validate the architecture beyond latency. The loss is
+the standard modern-YOLO shape: center-inside-box positive assignment
+with per-level size routing, BCE classification, and distribution focal
+loss (two-hot cross-entropy over the reg_max bins) for the ltrb box
+distances — all static-shape, jit-compiled, vmap/pmap-friendly.
+
+Train on the synthetic-shapes task (rectangles vs ellipses on textured
+noise) with:
+
+    python -m aria_slam_tpu.models.detector_train --steps 600 \
+        --out /tmp/shapes_tiny.npz
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aria_slam_tpu.config import DetectorConfig
+from aria_slam_tpu.models import yolo
+
+REG_MAX = 16
+
+
+# ------------------------------------------------------------- synthetic data
+def make_synthetic_batch(rng: np.random.Generator, batch: int, size: int,
+                         max_boxes: int = 4, num_classes: int = 2):
+    """Images with solid rectangles (class 0) and ellipses (class 1) on
+    textured noise. Returns (images (B,S,S,3) [0,1], boxes (B,M,4) xyxy,
+    cls (B,M), valid (B,M))."""
+    imgs = rng.uniform(0.0, 0.45, (batch, size, size, 3)).astype(np.float32)
+    # low-frequency texture so the background isn't trivially separable
+    for b in range(batch):
+        gx = rng.uniform(0, 0.25)
+        imgs[b] += gx * np.sin(np.arange(size) / rng.uniform(3, 9))[None, :, None]
+    boxes = np.zeros((batch, max_boxes, 4), np.float32)
+    cls = np.zeros((batch, max_boxes), np.int32)
+    valid = np.zeros((batch, max_boxes), bool)
+    yy, xx = np.mgrid[0:size, 0:size]
+    for b in range(batch):
+        n = rng.integers(1, max_boxes + 1)
+        for m in range(n):
+            w = rng.integers(size // 5, size // 2)
+            h = rng.integers(size // 5, size // 2)
+            x1 = rng.integers(0, size - w)
+            y1 = rng.integers(0, size - h)
+            c = int(rng.integers(0, num_classes))
+            color = rng.uniform(0.55, 1.0, 3).astype(np.float32)
+            if c == 0:
+                imgs[b, y1:y1 + h, x1:x1 + w] = color
+            else:
+                cx, cy = x1 + w / 2, y1 + h / 2
+                mask = ((xx - cx) / (w / 2)) ** 2 + ((yy - cy) / (h / 2)) ** 2 <= 1
+                imgs[b][mask] = color
+            boxes[b, m] = [x1, y1, x1 + w, y1 + h]
+            cls[b, m] = c
+            valid[b, m] = True
+    return np.clip(imgs, 0, 1), boxes, cls, valid
+
+
+# ------------------------------------------------------------------- the loss
+def _level_loss(box_dfl, cls_logits, stride, gt_boxes, gt_cls, gt_valid,
+                num_classes: int, lo: float, hi: float):
+    """Per-level assignment + loss. box_dfl (H,W,4*R), cls (H,W,C);
+    gt_* (M,...). Returns (cls_loss_sum, box_loss_sum, num_pos)."""
+    h, w = cls_logits.shape[:2]
+    cy = (jnp.arange(h, dtype=jnp.float32) + 0.5) * stride
+    cx = (jnp.arange(w, dtype=jnp.float32) + 0.5) * stride
+    gy, gx = jnp.meshgrid(cy, cx, indexing="ij")
+    ax = gx.reshape(-1)  # (A,)
+    ay = gy.reshape(-1)
+
+    x1, y1, x2, y2 = (gt_boxes[:, i] for i in range(4))  # (M,)
+    bw, bh = x2 - x1, y2 - y1
+    side = jnp.maximum(bw, bh)
+    size_ok = (side >= lo) & (side < hi) & gt_valid  # (M,)
+    # positive: anchor center inside the central 60% of the box
+    sx1 = x1 + 0.2 * bw
+    sx2 = x2 - 0.2 * bw
+    sy1 = y1 + 0.2 * bh
+    sy2 = y2 - 0.2 * bh
+    inside = (
+        (ax[:, None] > sx1[None]) & (ax[:, None] < sx2[None])
+        & (ay[:, None] > sy1[None]) & (ay[:, None] < sy2[None])
+    )  # (A, M)
+    cand = inside & size_ok[None, :]
+    area = jnp.where(size_ok, bw * bh, jnp.inf)
+    # ambiguous anchors take the smallest candidate box
+    pick_key = jnp.where(cand, area[None, :], jnp.inf)
+    best = jnp.argmin(pick_key, axis=1)  # (A,)
+    pos = jnp.any(cand, axis=1)          # (A,)
+    posf = pos.astype(jnp.float32)
+    num_pos = jnp.sum(posf)
+
+    # classification: BCE over every anchor, one-hot at the matched class
+    cls_t = jax.nn.one_hot(gt_cls[best], num_classes) * posf[:, None]
+    logits = cls_logits.reshape(-1, num_classes).astype(jnp.float32)
+    cls_loss = jnp.sum(
+        jnp.maximum(logits, 0) - logits * cls_t + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+
+    # DFL box regression on positives: two-hot CE over the bins
+    lt = jnp.stack([ax - x1[best], ay - y1[best]], -1)       # (A, 2)
+    rb = jnp.stack([x2[best] - ax, y2[best] - ay], -1)
+    dist = jnp.concatenate([lt, rb], -1) / stride            # (A, 4)
+    dist = jnp.clip(dist, 0.0, REG_MAX - 1 - 1e-3)
+    dl = jnp.floor(dist)
+    wr = dist - dl
+    dl = dl.astype(jnp.int32)
+    logp = jax.nn.log_softmax(
+        box_dfl.reshape(-1, 4, REG_MAX).astype(jnp.float32), -1)  # (A,4,R)
+    lp_lo = jnp.take_along_axis(logp, dl[..., None], -1)[..., 0]
+    lp_hi = jnp.take_along_axis(logp, (dl + 1)[..., None], -1)[..., 0]
+    box_loss = -jnp.sum(((1 - wr) * lp_lo + wr * lp_hi) * posf[:, None])
+    return cls_loss, box_loss, num_pos
+
+
+def detection_loss(outs, gt_boxes, gt_cls, gt_valid, input_size: int,
+                   num_classes: int):
+    """Total loss over levels and batch. outs: list of (box, cls) maps."""
+    strides = [input_size // o[1].shape[1] for o in outs]
+    # size routing: level l takes boxes with max side in [4s, 4s_next)
+    bounds = []
+    for i, s in enumerate(strides):
+        lo = 0.0 if i == 0 else 4.0 * s
+        hi = jnp.inf if i == len(strides) - 1 else 4.0 * strides[i + 1]
+        bounds.append((lo, hi))
+
+    cls_sum = 0.0
+    box_sum = 0.0
+    pos_sum = 0.0
+    for (box, cls), stride, (lo, hi) in zip(outs, strides, bounds):
+        c, b, p = jax.vmap(
+            functools.partial(_level_loss, stride=stride,
+                              num_classes=num_classes, lo=lo, hi=hi)
+        )(box, cls, gt_boxes=gt_boxes, gt_cls=gt_cls, gt_valid=gt_valid)
+        cls_sum = cls_sum + jnp.sum(c)
+        box_sum = box_sum + jnp.sum(b)
+        pos_sum = pos_sum + jnp.sum(p)
+    denom = jnp.maximum(pos_sum, 1.0)
+    return cls_sum / denom + 0.5 * box_sum / denom
+
+
+# --------------------------------------------------------------- the trainer
+def make_train_step(model, tx, input_size: int, num_classes: int):
+    @jax.jit
+    def step(params, batch_stats, opt_state, imgs, boxes, cls, valid):
+        def loss_fn(p):
+            outs, upd = model.apply(
+                {"params": p, "batch_stats": batch_stats}, imgs,
+                train=True, mutable=["batch_stats"],
+            )
+            loss = detection_loss(outs, boxes, cls, valid, input_size,
+                                  num_classes)
+            return loss, upd["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda a, u: a + u, params, updates)
+        return params, new_bs, opt_state, loss
+
+    return step
+
+
+def train(cfg: DetectorConfig, steps: int = 600, batch: int = 8,
+          lr: float = 2e-3, seed: int = 0, verbose: bool = False):
+    """Train on the synthetic-shapes task; returns flax variables."""
+    import optax
+
+    model, variables = yolo.init_params(cfg, jax.random.key(seed))
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx, cfg.input_size, cfg.num_classes)
+    rng = np.random.default_rng(seed)
+    for i in range(steps):
+        imgs, boxes, cls, valid = make_synthetic_batch(
+            rng, batch, cfg.input_size, num_classes=cfg.num_classes)
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state,
+            jnp.asarray(imgs), jnp.asarray(boxes), jnp.asarray(cls),
+            jnp.asarray(valid),
+        )
+        if verbose and (i % 50 == 0 or i == steps - 1):
+            print(f"step {i}: loss {float(loss):.4f}")
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser(description="train the shapes detector")
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--size", type=int, default=96)
+    ap.add_argument("--width", type=float, default=0.25)
+    ap.add_argument("--classes", type=int, default=2)
+    ap.add_argument("--out", required=True, help="output weights .npz")
+    args = ap.parse_args()
+    cfg = DetectorConfig(input_size=args.size, width_mult=args.width,
+                         depth_mult=0.33, num_classes=args.classes)
+    variables = train(cfg, args.steps, args.batch, verbose=True)
+    yolo.save_weights(variables, args.out)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

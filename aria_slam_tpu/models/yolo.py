@@ -43,9 +43,15 @@ class ConvBnAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # explicit symmetric k//2 padding (ultralytics autopad), NOT
+        # "SAME": at stride 2 XLA's SAME pads asymmetrically and the
+        # conv windows shift by one pixel vs torch — converted weights
+        # would silently misalign. BN eps matches ultralytics (1e-3).
+        p = self.k // 2
         x = nn.Conv(self.out, (self.k, self.k), strides=(self.s, self.s),
-                    padding="SAME", use_bias=False, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+                    padding=((p, p), (p, p)), use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                         dtype=self.dtype)(x)
         return nn.silu(x)
 
 
@@ -142,14 +148,19 @@ class DetectHead(nn.Module):
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
+        # branch widths follow ultralytics v8 Detect exactly (computed
+        # from the FIRST level's channels, shared across levels) so that
+        # converted checkpoints map 1:1
+        ch0 = feats[0].shape[-1]
+        c2 = max(16, ch0 // 4, 4 * self.reg_max)
+        c3 = max(ch0, min(self.num_classes, 100))
         outs = []
         for f in feats:
-            c = f.shape[-1]
-            box = ConvBnAct(max(c // 4, 64), 3, dtype=self.dtype)(f, train)
-            box = ConvBnAct(max(c // 4, 64), 3, dtype=self.dtype)(box, train)
+            box = ConvBnAct(c2, 3, dtype=self.dtype)(f, train)
+            box = ConvBnAct(c2, 3, dtype=self.dtype)(box, train)
             box = nn.Conv(4 * self.reg_max, (1, 1), dtype=self.dtype)(box)
-            cls = ConvBnAct(max(c // 4, 64), 3, dtype=self.dtype)(f, train)
-            cls = ConvBnAct(max(c // 4, 64), 3, dtype=self.dtype)(cls, train)
+            cls = ConvBnAct(c3, 3, dtype=self.dtype)(f, train)
+            cls = ConvBnAct(c3, 3, dtype=self.dtype)(cls, train)
             cls = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype)(cls)
             outs.append((box, cls))
         return outs
