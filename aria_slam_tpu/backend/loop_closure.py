@@ -104,6 +104,9 @@ def detect(
     key: jax.Array,
     scale_mode: str = "unit",
     scene_depth: float = 4.0,
+    depths=None,
+    depth_mask=None,
+    depth_scale=None,
 ) -> LoopResult:
     from aria_slam_tpu.backend.keyframe_db import descriptor_histogram
 
@@ -139,16 +142,11 @@ def detect(
             & delta.success
             & (delta.num_inliers >= cfg.min_matches)
         )
-        # scale the loop translation with the SAME depth statistic the
-        # odometry uses, so loop edges don't fight the odometry scale in
-        # the pose graph (the reference keeps |t|=1, LoopClosure.cpp:176-183
-        # — a flaw its own scale-free VO hides; ours is scale-normalized)
-        if scale_mode == "median_depth":
-            t_use = epipolar.scale_translation(
-                delta, xy_q, xy_t, ok, K, scene_depth
-            )
-        else:
-            t_use = delta.t
+        # scale the loop translation into the SAME metric frame as the
+        # odometry (the reference keeps |t|=1, LoopClosure.cpp:176-183 —
+        # a flaw its own scale-free VO hides; ours is scale-normalized)
+        t_use = _loop_scale(delta, xy_q, xy_t, ok, K, scale_mode,
+                            scene_depth, depths, depth_mask, depth_scale)
         T = lie.se3_matrix(delta.R, t_use)
         return passed, delta.num_inliers, T
 
@@ -182,11 +180,37 @@ def score_candidates(db: KeyframeDB, feats: Features, slots, cfg):
     return _full_scores(db, feats, slots, cfg.ratio)
 
 
+def _loop_scale(delta, xy_q, xy_t, ok, K, scale_mode, scene_depth,
+                depths, depth_mask, depth_scale):
+    """Metric scale for a loop edge's translation.
+
+    scale_mode="propagate" with depth args: ratio the loop pair's
+    current-frame depths against the odometry chain's unit depths of the
+    SAME keypoint slots and carry the chain's running scale — the loop
+    edge lands in exactly the odometry frame's metric scale. Falls back
+    to scene-depth pinning when too few slots are shared.
+    scale_mode="median_depth": scene-depth pinning (same statistic the
+    odometry pin uses). "unit": |t| = 1 (reference parity)."""
+    if scale_mode == "unit":
+        return delta.t
+    z1, _, good = epipolar.pair_depths(delta, xy_q, xy_t, ok, K)
+    pin, _ = epipolar.pin_scale(z1, good, scene_depth)
+    if scale_mode == "propagate" and depths is not None:
+        ratio, cnt = epipolar.geomean_ratio(depths, z1, good & depth_mask)
+        s = jnp.where(cnt >= 10, depth_scale * ratio, pin)
+    else:
+        s = pin
+    return delta.t * jnp.clip(s, 0.01, 100.0)
+
+
 def verify_candidate(db: KeyframeDB, feats: Features, slot, K,
                      cfg: LoopClosureConfig, ransac: RansacConfig, key,
-                     scale_mode: str = "unit", scene_depth: float = 4.0):
+                     scale_mode: str = "unit", scene_depth: float = 4.0,
+                     depths=None, depth_mask=None, depth_scale=None):
     """Geometric verification of one (query, DB slot) pair ->
-    (passed, num_inliers, T_rel) with T_rel = T_matched_from_current."""
+    (passed, num_inliers, T_rel) with T_rel = T_matched_from_current.
+    depths/depth_mask (F,) + depth_scale (): the query frame's odometry
+    unit depths and running metric scale (see _loop_scale)."""
     loop_ransac = dataclasses.replace(
         ransac, inlier_threshold_px=cfg.verify_threshold_px,
         min_inliers=cfg.min_matches,
@@ -194,8 +218,6 @@ def verify_candidate(db: KeyframeDB, feats: Features, slot, K,
     xy_q, xy_t, ok = _match_against_slot(feats, db, slot, cfg.ratio)
     delta = epipolar.estimate_relative_pose(xy_q, xy_t, ok, K, loop_ransac, key)
     passed = delta.success & (delta.num_inliers >= cfg.min_matches)
-    if scale_mode == "median_depth":
-        t_use = epipolar.scale_translation(delta, xy_q, xy_t, ok, K, scene_depth)
-    else:
-        t_use = delta.t
+    t_use = _loop_scale(delta, xy_q, xy_t, ok, K, scale_mode, scene_depth,
+                        depths, depth_mask, depth_scale)
     return passed, delta.num_inliers, lie.se3_matrix(delta.R, t_use)

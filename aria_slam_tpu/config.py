@@ -175,6 +175,9 @@ class PipelineConfig:
     enable_mapping: bool = True
     enable_dynamic_filtering: bool = False
     enable_fusion: bool = True
+    # .npz from models/convert_weights.py or yolo.save_weights; random
+    # init when None (latency-correct, accuracy needs real weights)
+    detector_weights: str | None = None
 
     # monocular translation scale: "unit" = |t| = 1 per frame (parity
     # with the reference's recoverPose accumulation), "median_depth" =

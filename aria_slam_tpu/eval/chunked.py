@@ -44,7 +44,18 @@ class ChunkedSlam:
         self.lag = max(1, min(cfg.mapper.pair_lag, chunk))
         lag = self.lag
 
-        def frontend(frames, key):
+        detector = None
+        if cfg.enable_detection:
+            from aria_slam_tpu.models.detect import make_batched_detector
+
+            # no NMS inside the chunk program: containment filtering is
+            # unaffected by duplicate boxes and the greedy NMS loop is
+            # pure sequential latency (see make_batched_detector)
+            detector = make_batched_detector(
+                cfg.detector, weights_path=cfg.detector_weights, use_nms=False
+            )
+
+        def frontend(frames, zlast, mlast, key):
             from aria_slam_tpu.ops.undistort import undistort_points
 
             feats = orb.extract_batch(frames, cfg.orb)
@@ -55,21 +66,52 @@ class ChunkedSlam:
             m = match_ops.match_batched(cur, prev, cfg.matcher.ratio)
             keys = jax.random.split(key, frames.shape[0] - 1)
 
-            def pose_one(pf, cf, mm, k):
+            # object detection ∥ ORB: an independent subgraph inside the
+            # SAME program — XLA overlaps them, the dataflow analogue of
+            # the reference's two CUDA streams (src/main.cpp:129-140).
+            # Matches whose current-frame keypoint lands in a dynamic-
+            # class box are dropped before RANSAC (src/main.cpp:164-175).
+            if detector is not None and cfg.enable_dynamic_filtering:
+                from aria_slam_tpu.ops import boxes as box_ops
+
+                dets = detector(frames[1:])
+                dyn = jax.vmap(box_ops.points_in_dynamic_boxes)(cur.xy, dets)
+            else:
+                dyn = jnp.zeros(cur.valid.shape, bool)
+
+            def pose_one(pf, cf, mm, dyn_f, k):
                 xy_prev = jnp.take_along_axis(pf.xy, mm.train_idx[:, None], 0)
-                valid = mm.valid & pf.valid[mm.train_idx]
+                valid = mm.valid & pf.valid[mm.train_idx] & ~dyn_f
                 delta = epipolar.estimate_relative_pose(
                     xy_prev, cf.xy, valid, K, cfg.ransac, k
                 )
-                if cfg.vo_scale_mode == "median_depth":
-                    t_use = epipolar.scale_translation(
-                        delta, xy_prev, cf.xy, valid, K, cfg.vo_scene_depth
-                    )
-                else:
-                    t_use = delta.t
-                return delta.R, t_use, delta.success, delta.num_inliers
+                # unit-|t| depths for the scale chain: z1 at the prev
+                # frame (correspondence slot = cur slot; scatter to prev
+                # slots for the frame shared with the PREVIOUS pair),
+                # z2 at the cur frame (carried to the NEXT pair)
+                z1, z2, zgood = epipolar.pair_depths(
+                    delta, xy_prev, cf.xy, valid, K)
+                pin, pin_ok = epipolar.pin_scale(z1, zgood, cfg.vo_scene_depth)
+                nf = cf.valid.shape[0]
+                zp = jnp.zeros((nf,), jnp.float32).at[mm.train_idx].set(
+                    jnp.where(zgood, z1, 0.0), mode="drop")
+                mp = jnp.zeros((nf,), bool).at[mm.train_idx].set(
+                    zgood, mode="drop")
+                z2s = jnp.where(zgood, z2, 0.0)
+                m2s = zgood & delta.success
+                return (delta.R, delta.t, delta.success, delta.num_inliers,
+                        pin, pin_ok, zp, mp, z2s, m2s)
 
-            R, t, ok, ninl = jax.vmap(pose_one)(prev, cur, m, keys)
+            (R, t, ok, ninl, pins, pin_oks, ZP, MP, Z2, M2) = jax.vmap(
+                pose_one)(prev, cur, m, dyn, keys)
+
+            # pair-to-pair scale ratios through the shared frame:
+            # prev pair's cur-frame depths vs this pair's prev-frame depths
+            prev_z = jnp.concatenate([zlast[None], Z2[:-1]], 0)
+            prev_m = jnp.concatenate([mlast[None], M2[:-1]], 0)
+            ratios, rcounts = jax.vmap(
+                lambda a, am, b, bm: epipolar.geomean_ratio(a, b, am & bm)
+            )(prev_z, prev_m, ZP, MP)
 
             # wide-baseline pairs (i-lag, i) for triangulation: consecutive
             # 20 fps frames sit under the 1-degree parallax gate
@@ -86,8 +128,15 @@ class ChunkedSlam:
             hists = keyframe_db.descriptor_histogram(
                 cur.desc, cur.valid
             )  # (C, 256)
-            return (R, t, ok, ninl, uvl_prev, lcur.xy, lvalid,
-                    cur.desc, cur.xy, cur.valid, hists)
+            return {
+                "R": R, "t": t, "ok": ok, "ninl": ninl,
+                "pins": pins, "pin_oks": pin_oks,
+                "ratios": ratios, "rcounts": rcounts,
+                "Z2": Z2, "M2": M2,
+                "uvl_prev": uvl_prev, "uvl_cur": lcur.xy, "lvalid": lvalid,
+                "desc": cur.desc, "xy": cur.xy, "dvalid": cur.valid,
+                "hists": hists,
+            }
 
         self._frontend = jax.jit(frontend)
         # donated carries: DB/map/graph hold large padded buffers — without
@@ -103,11 +152,14 @@ class ChunkedSlam:
         self._lc_candidates = jax.jit(
             lambda db, h, f: loop_closure.batch_candidates(db, h, f, cfg.loop)
         )
-        def verify_batch(db, desc, xy, dvalid, fidx, slots, key):
+        def verify_batch(db, desc, xy, dvalid, z2, m2, scales, fidx, slots,
+                         key):
             """Vmapped geometric verification of up to VERIFY_MAX
             (chunk frame, DB slot) pairs at once (parity: the reference
             verifies top-5 candidates per frame, LoopClosure.cpp:41-66 —
-            the pairs are independent, so they batch)."""
+            the pairs are independent, so they batch). z2/m2/scales: the
+            chunk's odometry unit depths + metric scales, so loop-edge
+            translations land in the odometry's metric frame."""
             from aria_slam_tpu.core.types import Features
 
             kq = desc.shape[1]
@@ -122,6 +174,7 @@ class ChunkedSlam:
                 return loop_closure.verify_candidate(
                     db, feats, slot, K, cfg.loop, cfg.ransac, k,
                     cfg.vo_scale_mode, cfg.vo_scene_depth,
+                    depths=z2[i], depth_mask=m2[i], depth_scale=scales[i],
                 )
 
             return jax.vmap(one)(fidx, slots, keys)
@@ -185,6 +238,37 @@ class ChunkedSlam:
         self.frame_count = 0
         self.num_loops = 0
         self.trajectory: list = []
+        # scale-propagation carry: last frame's unit depths (device) +
+        # the running metric scale (host scalar)
+        self._zlast = jnp.zeros((cfg.orb.num_features,), jnp.float32)
+        self._mlast = jnp.zeros((cfg.orb.num_features,), bool)
+        self._scale = 1.0
+
+    def _chain_scales(self, out, c) -> np.ndarray:
+        """Per-pair metric scales. "propagate": s_k = s_{k-1} * ratio_k
+        through shared features (fallback: scene-depth pin, else keep);
+        "median_depth": per-pair pin; "unit": 1 (reference parity)."""
+        mode = self.cfg.vo_scale_mode
+        if mode == "unit":
+            return np.ones(c, np.float32)
+        pins = np.asarray(out["pins"])
+        if mode == "median_depth":
+            return pins
+        ratios = np.asarray(out["ratios"])
+        rcounts = np.asarray(out["rcounts"])
+        pin_oks = np.asarray(out["pin_oks"])
+        ok = np.asarray(out["ok"])
+        scales = np.ones(c, np.float32)
+        s = self._scale
+        for i in range(c):
+            if ok[i]:
+                if rcounts[i] >= 10:
+                    s = s * float(ratios[i])
+                elif pin_oks[i]:
+                    s = float(pins[i])  # chain broken: re-anchor
+            scales[i] = np.clip(s, 0.01, 100.0)
+        self._scale = float(scales[-1])
+        return scales
 
     def process_chunk(self, frames: np.ndarray, timestamps) -> None:
         """frames: (C+1, H, W) — the first frame must be the previous
@@ -193,16 +277,21 @@ class ChunkedSlam:
         cfg = self.cfg
         self._key, k1, k2 = jax.random.split(self._key, 3)
         fr = jnp.asarray(frames, jnp.float32)
-        (R, t, ok, ninl, uvl_prev, uvl_cur, lvalid, desc, xy, dvalid, hists) = (
-            self._frontend(fr, k1)
-        )
-        R = np.asarray(R); t = np.asarray(t); ok = np.asarray(ok)
+        out = self._frontend(fr, self._zlast, self._mlast, k1)
+        R = np.asarray(out["R"])
+        t = np.asarray(out["t"])
+        ok = np.asarray(out["ok"])
+        self._zlast = out["Z2"][-1]  # stays on device for the next chunk
+        self._mlast = out["M2"][-1]
 
         c = len(R)
         first_frame = self.frame_count == 0
         if first_frame:
             self.trajectory.append((timestamps[0], self.T.copy()))
             self.frame_count = 1
+
+        # ---- metric scale per pair (host chain over device statistics)
+        scales = self._chain_scales(out, c)
 
         # ---- accumulate world poses on host (4x4 chain, trivial).
         # Edge measurements come from the MEASURED deltas, not from pose
@@ -216,7 +305,7 @@ class ChunkedSlam:
             if ok[i]:
                 T_cur_prev = np.eye(4, dtype=np.float32)
                 T_cur_prev[:3, :3] = R[i]
-                T_cur_prev[:3, 3] = t[i]
+                T_cur_prev[:3, 3] = t[i] * scales[i]
                 rel = np.linalg.inv(T_cur_prev).astype(np.float32)
             else:
                 rel = np.eye(4, dtype=np.float32)
@@ -226,6 +315,7 @@ class ChunkedSlam:
         self.T = T
         poses_np = np.stack(poses)
         rels = np.stack(rels)
+        self._chunk_scales = scales  # for the loop-verify call below
 
         # ---- pose graph chunk append
         first_node = self.frame_count
@@ -239,7 +329,8 @@ class ChunkedSlam:
             T1 = jnp.asarray(np.linalg.inv(np.stack(all_poses[: c + 1 - lag])))
             T2 = jnp.asarray(np.linalg.inv(np.stack(all_poses[lag:])))
             self.map_state = self._map_insert(
-                self.map_state, T1, T2, uvl_prev, uvl_cur, lvalid, fr[lag:]
+                self.map_state, T1, T2, out["uvl_prev"], out["uvl_cur"],
+                out["lvalid"], fr[lag:]
             )
 
         # ---- loop closure (prefilter chunk, verify best candidates)
@@ -247,12 +338,13 @@ class ChunkedSlam:
             # global frame index of each 'cur' frame; node id == frame id
             # in the chunked graph (frame 0 is node 0)
             fids = jnp.asarray(self.frame_count + np.arange(c), jnp.int32)
-            sims, slots = self._lc_candidates(self.db, hists, fids)
+            sims, slots = self._lc_candidates(self.db, out["hists"], fids)
             sims = np.asarray(sims)
             loop_found = False
             if (sims[:, 0] > 0).any():
                 scores = np.array(
-                    self._lc_scores_chunk(self.db, desc, dvalid, slots)
+                    self._lc_scores_chunk(self.db, out["desc"], out["dvalid"],
+                                          slots)
                 )  # (C, k) — np.array: writable copy
                 scores[sims <= 0] = -1.0
                 # verify the top VERIFY_MAX scoring (frame, candidate)
@@ -274,7 +366,9 @@ class ChunkedSlam:
                         sl[n_] = slots_np[i, j]
                         live[n_] = True
                     passed, _, T_rels = self._lc_verify_batch(
-                        self.db, desc, xy, dvalid,
+                        self.db, out["desc"], out["xy"], out["dvalid"],
+                        out["Z2"], out["M2"],
+                        jnp.asarray(self._chunk_scales),
                         jnp.asarray(fidx), jnp.asarray(sl), k2,
                     )
                     passed = np.asarray(passed) & live
@@ -302,7 +396,8 @@ class ChunkedSlam:
                 node = self.frame_count + c - 1
                 self.T = np.asarray(pose_graph.get_pose(self.graph, node))
 
-            self.db = self._kf_insert(self.db, desc, xy, dvalid, fids,
+            self.db = self._kf_insert(self.db, out["desc"], out["xy"],
+                                      out["dvalid"], fids,
                                       jnp.asarray(poses_np))
 
         for i in range(c):

@@ -234,6 +234,43 @@ def scale_translation(delta: PoseDelta, xy1, xy2, valid, K,
     return delta.t * jnp.clip(scale, 0.01, 100.0)
 
 
+def pair_depths(delta: PoseDelta, xy1, xy2, valid, K):
+    """Per-correspondence two-view depths under the pair's own unit-|t|
+    scale. Returns (z1, z2, good): depths of each matched point in
+    camera 1 / camera 2 plus an inlier/positivity/sanity mask. These are
+    the raw material for monocular scale propagation: the same physical
+    point seen from a shared frame by two different pairs has equal
+    METRIC depth, so the ratio of its unit-scale depths is the ratio of
+    the pairs' true translation scales."""
+    p1 = normalize_points(xy1, K)
+    p2 = normalize_points(xy2, K)
+    z1, z2 = triangulate_depths(delta.R, delta.t, p1, p2)
+    good = (delta.inlier_mask & valid
+            & (z1 > 1e-3) & (z1 < 1e4) & (z2 > 1e-3) & (z2 < 1e4))
+    return z1, z2, good
+
+
+def geomean_ratio(num, den, mask):
+    """Masked geometric mean of num/den -> (ratio, count). Robust to
+    multiplicative outliers like a median, but a pure reduction (sorts
+    are slow on this stack, CLAUDE.md)."""
+    cnt = jnp.sum(mask.astype(jnp.float32))
+    r = jnp.log(jnp.clip(num, 1e-4, 1e5)) - jnp.log(jnp.clip(den, 1e-4, 1e5))
+    mean = jnp.sum(jnp.where(mask, r, 0.0)) / jnp.maximum(cnt, 1.0)
+    return jnp.exp(mean), cnt
+
+
+def pin_scale(z, mask, scene_depth: float, min_count: int = 20):
+    """Absolute scale that pins the masked geometric-mean depth to
+    scene_depth -> (scale, ok). The anchor for scale propagation and the
+    fallback when too few shared features survive."""
+    ones = jnp.ones_like(z)
+    geo, cnt = geomean_ratio(z, ones, mask)
+    ok = cnt >= min_count
+    scale = jnp.where(ok, scene_depth / jnp.maximum(geo, 1e-3), 1.0)
+    return jnp.clip(scale, 0.01, 100.0), ok
+
+
 def gather_correspondences(f1_xy, f2_xy, matches: Matches):
     """Matches -> aligned (N, 2) coordinate arrays + mask."""
     xy1 = f1_xy[matches.query_idx]

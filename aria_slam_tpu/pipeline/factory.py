@@ -66,8 +66,10 @@ def create(mode: ExecutionMode | str = ExecutionMode.TPU,
     if config.enable_detection and "detector" not in kw:
         from aria_slam_tpu.models.detect import make_detector
 
-        kw["detector"] = make_detector(config.detector,
-                                       weights_path=detector_weights)
+        kw["detector"] = make_detector(
+            config.detector,
+            weights_path=detector_weights or config.detector_weights,
+        )
     if mode is ExecutionMode.MOCK:
         return SlamPipeline(config, extractor=_mock_extractor(config), **kw)
     # TPU vs CPU: jax picks the default backend; tests pin JAX_PLATFORMS=cpu

@@ -54,6 +54,11 @@ class FrameState:
     prev_valid: jnp.ndarray    # () bool — have a previous frame
     pose: jnp.ndarray          # (4, 4) world-from-camera (VO trajectory)
     prev_ts: jnp.ndarray       # () float32
+    # monocular scale-propagation chain: the previous frame's per-slot
+    # unit-|t| triangulated depths + the running metric scale
+    prev_depths: jnp.ndarray      # (F,) float32
+    prev_depth_mask: jnp.ndarray  # (F,) bool
+    vo_scale: jnp.ndarray         # () float32
     ekf_state: EkfState
     db: KeyframeDB
     map_state: MapState
@@ -95,6 +100,9 @@ def init_state(cfg: PipelineConfig, key: jax.Array | None = None) -> FrameState:
         prev_valid=jnp.asarray(False),
         pose=jnp.eye(4, dtype=jnp.float32),
         prev_ts=jnp.asarray(0.0, jnp.float32),
+        prev_depths=jnp.zeros((cfg.orb.num_features,), jnp.float32),
+        prev_depth_mask=jnp.zeros((cfg.orb.num_features,), bool),
+        vo_scale=jnp.asarray(1.0, jnp.float32),
         ekf_state=ekf.init_state(),
         db=keyframe_db.init_db(cfg.loop, cfg.orb),
         map_state=mapper.init_map(cfg.mapper),
@@ -149,16 +157,41 @@ def make_frame_step(
         delta = epipolar.estimate_relative_pose(
             xy_prev, xy_cur, m_valid, K, cfg.ransac, k_ransac
         )
-        # delta: X_cur = R X_prev + t (cam_cur-from-cam_prev)
-        if cfg.vo_scale_mode == "median_depth":
-            t_use = epipolar.scale_translation(
-                delta, xy_prev, xy_cur, m_valid, K, cfg.vo_scene_depth
-            )
+        vo_ok = delta.success & state.prev_valid
+
+        # delta: X_cur = R X_prev + t (cam_cur-from-cam_prev), |t| = 1.
+        # Metric scale: "propagate" chains the scale through features
+        # shared with the previous pair (metric depth of a shared point
+        # is pair-invariant), anchored/fallback by scene-depth pinning;
+        # "median_depth" pins every frame (assumes constant scene depth);
+        # "unit" is reference parity.
+        nf = feats.valid.shape[0]
+        if cfg.vo_scale_mode in ("median_depth", "propagate"):
+            z1, z2, zgood = epipolar.pair_depths(delta, xy_prev, xy_cur,
+                                                 m_valid, K)
+            pin, _ = epipolar.pin_scale(z1, zgood, cfg.vo_scene_depth)
+            if cfg.vo_scale_mode == "propagate":
+                shared = zgood & state.prev_depth_mask[m.train_idx]
+                ratio, cnt = epipolar.geomean_ratio(
+                    state.prev_depths[m.train_idx], z1, shared
+                )
+                scale = jnp.where(cnt >= 10, state.vo_scale * ratio, pin)
+            else:
+                scale = pin
+            scale = jnp.clip(scale, 0.01, 100.0)
+            t_use = delta.t * scale
+            new_depths = jnp.zeros((nf,), jnp.float32).at[m.query_idx].set(
+                jnp.where(zgood, z2, 0.0), mode="drop")
+            new_dmask = (jnp.zeros((nf,), bool).at[m.query_idx].set(
+                zgood, mode="drop") & vo_ok)
+            new_scale = jnp.where(vo_ok, scale, state.vo_scale)
         else:
             t_use = delta.t
+            new_depths = jnp.zeros((nf,), jnp.float32)
+            new_dmask = jnp.zeros((nf,), bool)
+            new_scale = state.vo_scale
         T_cur_prev = lie.se3_matrix(delta.R, t_use)
         pose_new = state.pose @ lie.se3_inverse(T_cur_prev)
-        vo_ok = delta.success & state.prev_valid
         pose_new = jnp.where(vo_ok, pose_new, state.pose)
 
         # ---- EKF fusion (VO measurement in world frame)
@@ -199,6 +232,7 @@ def make_frame_step(
             loop = loop_closure.detect(
                 state.db, feats, state.frame_id, K, cfg.loop, cfg.ransac, k_loop,
                 cfg.vo_scale_mode, cfg.vo_scene_depth,
+                depths=new_depths, depth_mask=new_dmask, depth_scale=new_scale,
             )
             db_new = keyframe_db.add_keyframe(state.db, feats, state.frame_id, pose_new)
         else:
@@ -218,6 +252,9 @@ def make_frame_step(
             prev_valid=jnp.asarray(True),
             pose=pose_new,
             prev_ts=ts,
+            prev_depths=new_depths,
+            prev_depth_mask=new_dmask,
+            vo_scale=new_scale,
             ekf_state=ekf_new,
             db=db_new,
             map_state=map_new,

@@ -1,21 +1,28 @@
 """Headline benchmark: EuRoC-sized SLAM front-end FPS on one chip.
 
 Workload parity with the reference's headline number (ORB 2000/8-level
-extract + BF-Hamming match + essential RANSAC per frame at 752x480 —
-'ORB+YOLO parallel streams ~80 FPS on RTX 2060', BASELINE.md).
+extract + BF-Hamming match + essential RANSAC + YOLO-s 640 object
+detection + dynamic-match filtering per frame at 752x480 — 'ORB+YOLO
+parallel streams ~80 FPS on RTX 2060', BASELINE.md). The detector runs
+INSIDE the same program as the SLAM front-end (random weights —
+latency-identical to converted weights), so vs_baseline divides by the
+reference's 80 FPS like-for-like. ORB-only comparator: BENCH_DETAIL in
+BASELINE.md (reference: 150+ FPS).
 
 TPU-native execution shape: frame-pair VO is embarrassingly parallel
 (only the final pose accumulation is sequential), so frames run as a
 vmapped BATCH inside one XLA program — SURVEY.md §5.7's 'chunked jitted
 windows'. This also amortizes the harness's fixed per-program-dispatch
-overhead, which would otherwise dominate (~38 ms/call through the
-remote relay on this rig — measured with single-op programs).
+overhead (~38 ms/call through the remote relay on this rig), and lets
+XLA overlap ORB and the detector as independent subgraphs (the dataflow
+analogue of the reference's two CUDA streams, src/main.cpp:129-140).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -27,17 +34,25 @@ CHUNK = 64  # frame pairs per program call
 NUM_CHUNKS = 4
 
 
-def main():
+def main(detector_on: bool = True):
     import jax
     import jax.numpy as jnp
 
     from aria_slam_tpu.config import CameraConfig, PipelineConfig
     from aria_slam_tpu.io import synthetic_scene
+    from aria_slam_tpu.ops import boxes as box_ops
     from aria_slam_tpu.ops import epipolar, match as match_ops, orb
 
     cfg = PipelineConfig()  # full EuRoC defaults: 752x480, 2000 feats, 8 levels
     cam = CameraConfig(k1=0.0, k2=0.0, p1=0.0, p2=0.0)
     K = jnp.asarray(cam.K)
+
+    if detector_on:
+        from aria_slam_tpu.models.detect import make_batched_detector
+
+        detector = make_batched_detector(cfg.detector, use_nms=False)
+    else:
+        detector = None
 
     # realistic textured frames (rendered plane sweep, like EuRoC texture)
     tex = synthetic_scene._texture(seed=3)
@@ -56,22 +71,28 @@ def main():
     @jax.jit
     def chunk_step(frames, key):
         # batched front-end: extract all frames once, match/RANSAC the
-        # CHUNK consecutive pairs together
+        # CHUNK consecutive pairs together; detector ∥ ORB in-program
         feats = orb.extract_batch(frames, cfg.orb)
         prev = jax.tree_util.tree_map(lambda x: x[:-1], feats)
         cur = jax.tree_util.tree_map(lambda x: x[1:], feats)
         m = match_ops.match_batched(cur, prev, cfg.matcher.ratio)
         keys = jax.random.split(key, frames.shape[0] - 1)
 
-        def pose_one(prev_f, cur_f, mm, k):
+        if detector is not None:
+            dets = detector(frames[1:])
+            dyn = jax.vmap(box_ops.points_in_dynamic_boxes)(cur.xy, dets)
+        else:
+            dyn = jnp.zeros(cur.valid.shape, bool)
+
+        def pose_one(prev_f, cur_f, mm, dyn_f, k):
             return epipolar.estimate_relative_pose(
                 jnp.take_along_axis(prev_f.xy, mm.train_idx[:, None], 0),
                 cur_f.xy,
-                mm.valid & prev_f.valid[mm.train_idx],
+                mm.valid & prev_f.valid[mm.train_idx] & ~dyn_f,
                 K, cfg.ransac, k,
             )
 
-        delta = jax.vmap(pose_one)(prev, cur, m, keys)
+        delta = jax.vmap(pose_one)(prev, cur, m, dyn, keys)
         return delta.R, delta.t, jnp.sum(delta.num_inliers)
 
     key = jax.random.key(0)
@@ -88,13 +109,18 @@ def main():
     dt = time.perf_counter() - t0
     fps = total_frames / dt
 
+    # like-for-like baselines: 80 FPS = reference ORB+YOLO parallel
+    # streams (README.md:1115); 150 FPS = reference ORB-only (README.md:1113)
+    baseline = 80.0 if detector_on else 150.0
+    metric = ("euroc_frontend_yolo_fps_per_chip" if detector_on
+              else "euroc_frontend_fps_per_chip")
     print(json.dumps({
-        "metric": "euroc_frontend_fps_per_chip",
+        "metric": metric,
         "value": round(fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / 80.0, 3),
+        "vs_baseline": round(fps / baseline, 3),
     }))
 
 
 if __name__ == "__main__":
-    main()
+    main(detector_on="--no-detector" not in sys.argv)

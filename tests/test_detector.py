@@ -62,6 +62,28 @@ def test_nms_matches_opencv():
     assert ours_set == cv_set
 
 
+def test_batched_detector_matches_single():
+    """make_batched_detector(use_nms=True) must reproduce make_detector
+    frame-for-frame (same variables, same preprocessing)."""
+    from aria_slam_tpu.models.detect import make_batched_detector, make_detector
+
+    _, variables = yolo.init_params(TINY, jax.random.key(2))
+    single = jax.jit(make_detector(TINY, variables=variables))
+    batched = jax.jit(make_batched_detector(TINY, variables=variables,
+                                            use_nms=True))
+    rng = np.random.default_rng(7)
+    imgs = rng.uniform(0, 255, (2, 48, 72)).astype(np.float32)
+    db = batched(jnp.asarray(imgs))
+    for i in range(2):
+        ds = single(jnp.asarray(imgs[i]))
+        np.testing.assert_allclose(np.asarray(db.boxes[i]),
+                                   np.asarray(ds.boxes), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(db.valid[i]),
+                                      np.asarray(ds.valid))
+        np.testing.assert_array_equal(np.asarray(db.classes[i]),
+                                      np.asarray(ds.classes))
+
+
 def test_dynamic_box_filter():
     det = Detections(
         boxes=jnp.asarray([[10, 10, 50, 50], [100, 100, 150, 150],
