@@ -46,6 +46,10 @@ class LoopResult:
     T_rel: jnp.ndarray        # (4, 4) — candidate-cam-from-current-cam motion
                               # (translation metric-scaled when scale_mode=
                               # "median_depth", else unit-norm monocular)
+    t_weight: jnp.ndarray     # () float32 in [0, 1] — parallax-derived
+                              # confidence of T_rel's translation (0 at a
+                              # zero-baseline revisit: rotation perfect,
+                              # monocular translation meaningless)
 
 
 def _gated_candidates(db: KeyframeDB, hist_q, frame_id, cfg, k):
@@ -147,10 +151,11 @@ def detect(
         # a flaw its own scale-free VO hides; ours is scale-normalized)
         t_use = _loop_scale(delta, xy_q, xy_t, ok, K, scale_mode,
                             scene_depth, depths, depth_mask, depth_scale)
+        par, _ = epipolar.mean_parallax_deg(delta, xy_q, xy_t, ok, K)
         T = lie.se3_matrix(delta.R, t_use)
-        return passed, delta.num_inliers, T
+        return passed, delta.num_inliers, T, epipolar.parallax_t_weight(par)
 
-    passed, inliers, Ts = jax.vmap(verify)(top_slots, top_scores, keys)
+    passed, inliers, Ts, twts = jax.vmap(verify)(top_slots, top_scores, keys)
 
     # first (highest-score) passing candidate, parity with the reference's
     # ordered early-exit loop (LoopClosure.cpp:41-66)
@@ -163,6 +168,7 @@ def detect(
         score=jnp.where(any_pass, top_scores[first], 0.0),
         num_inliers=jnp.where(any_pass, inliers[first], 0),
         T_rel=jnp.where(any_pass, Ts[first], jnp.eye(4, dtype=jnp.float32)),
+        t_weight=jnp.where(any_pass, twts[first], 0.0),
     )
 
 
@@ -220,4 +226,6 @@ def verify_candidate(db: KeyframeDB, feats: Features, slot, K,
     passed = delta.success & (delta.num_inliers >= cfg.min_matches)
     t_use = _loop_scale(delta, xy_q, xy_t, ok, K, scale_mode, scene_depth,
                         depths, depth_mask, depth_scale)
-    return passed, delta.num_inliers, lie.se3_matrix(delta.R, t_use)
+    par, _ = epipolar.mean_parallax_deg(delta, xy_q, xy_t, ok, K)
+    return (passed, delta.num_inliers, lie.se3_matrix(delta.R, t_use),
+            epipolar.parallax_t_weight(par))

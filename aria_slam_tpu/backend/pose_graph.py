@@ -36,6 +36,7 @@ def init_graph(cfg: PoseGraphConfig) -> PoseGraph:
         edge_j=jnp.zeros((e,), jnp.int32),
         edge_rel=eye_e,
         edge_weight=jnp.zeros((e,), jnp.float32),
+        edge_twt=jnp.ones((e,), jnp.float32),
         edge_valid=jnp.zeros((e,), bool),
         num_nodes=jnp.asarray(0, jnp.int32),
         num_edges=jnp.asarray(0, jnp.int32),
@@ -52,26 +53,31 @@ def set_node(g: PoseGraph, idx, pose) -> PoseGraph:
     )
 
 
-def _add_edge(g: PoseGraph, i, j, rel, weight) -> PoseGraph:
+def _add_edge(g: PoseGraph, i, j, rel, weight, t_weight=1.0) -> PoseGraph:
     slot = g.num_edges
     cap = g.edge_i.shape[0]
     ok = slot < cap
     safe = jnp.where(ok, slot, cap - 1)
+    t_weight = jnp.asarray(t_weight, jnp.float32)
     return g.replace(
         edge_i=g.edge_i.at[safe].set(jnp.where(ok, jnp.asarray(i, jnp.int32), g.edge_i[safe])),
         edge_j=g.edge_j.at[safe].set(jnp.where(ok, jnp.asarray(j, jnp.int32), g.edge_j[safe])),
         edge_rel=g.edge_rel.at[safe].set(jnp.where(ok, rel, g.edge_rel[safe])),
         edge_weight=g.edge_weight.at[safe].set(jnp.where(ok, weight, g.edge_weight[safe])),
+        edge_twt=g.edge_twt.at[safe].set(jnp.where(ok, t_weight, g.edge_twt[safe])),
         edge_valid=g.edge_valid.at[safe].set(jnp.where(ok, True, g.edge_valid[safe])),
         num_edges=jnp.where(ok, slot + 1, slot),
     )
 
 
-def extend_chain(g: PoseGraph, poses, rels, first_node) -> PoseGraph:
+def extend_chain(g: PoseGraph, poses, rels, first_node,
+                 t_weight=1.0) -> PoseGraph:
     """Append C chain nodes + odometry edges in one call (offline
     chunked evaluation): node ids first_node..first_node+C-1 with world
     poses `poses` (C, 4, 4) and edges (i-1 -> i) measuring `rels`
-    (C, 4, 4) = T_{i-1}^-1 T_i."""
+    (C, 4, 4) = T_{i-1}^-1 T_i. t_weight: translation weight of the
+    chain edges (down-weight when wide-baseline backbone edges carry the
+    better-conditioned translations)."""
     c = poses.shape[0]
     first_node = jnp.asarray(first_node, jnp.int32)
     node_idx = first_node + jnp.arange(c, dtype=jnp.int32)
@@ -87,10 +93,36 @@ def extend_chain(g: PoseGraph, poses, rels, first_node) -> PoseGraph:
         edge_j=g.edge_j.at[edge_slots].set(node_idx, mode="drop"),
         edge_rel=g.edge_rel.at[edge_slots].set(rels, mode="drop"),
         edge_weight=g.edge_weight.at[edge_slots].set(1.0, mode="drop"),
+        edge_twt=g.edge_twt.at[edge_slots].set(
+            jnp.asarray(t_weight, jnp.float32), mode="drop"),
         edge_valid=g.edge_valid.at[edge_slots].set(True, mode="drop"),
         num_nodes=jnp.minimum(jnp.maximum(g.num_nodes, first_node + c),
                               g.node_pose.shape[0]),
         num_edges=jnp.minimum(g.num_edges + c, ecap),
+    )
+
+
+def add_edges_batch(g: PoseGraph, i_idx, j_idx, rels, weight,
+                    valid, t_weight=1.0) -> PoseGraph:
+    """Append a batch of E' edges in one call (chunked mode). Entries
+    with valid=False still consume a slot but carry edge_valid=False /
+    weight 0, so the batch stays one static-shape scatter; overflowing
+    slots are dropped (parity with extend_chain)."""
+    e = i_idx.shape[0]
+    ecap = g.edge_i.shape[0]
+    slots = g.num_edges + jnp.arange(e, dtype=jnp.int32)
+    valid = jnp.asarray(valid, bool)
+    w = jnp.broadcast_to(jnp.asarray(weight, jnp.float32), (e,))
+    twt = jnp.broadcast_to(jnp.asarray(t_weight, jnp.float32), (e,))
+    return g.replace(
+        edge_i=g.edge_i.at[slots].set(jnp.asarray(i_idx, jnp.int32), mode="drop"),
+        edge_j=g.edge_j.at[slots].set(jnp.asarray(j_idx, jnp.int32), mode="drop"),
+        edge_rel=g.edge_rel.at[slots].set(rels, mode="drop"),
+        edge_weight=g.edge_weight.at[slots].set(
+            jnp.where(valid, w, 0.0), mode="drop"),
+        edge_twt=g.edge_twt.at[slots].set(twt, mode="drop"),
+        edge_valid=g.edge_valid.at[slots].set(valid, mode="drop"),
+        num_edges=jnp.minimum(g.num_edges + e, ecap),
     )
 
 
@@ -99,9 +131,14 @@ def add_odometry_edge(g: PoseGraph, i, j, rel, cfg: PoseGraphConfig) -> PoseGrap
     return _add_edge(g, i, j, rel, jnp.asarray(1.0, jnp.float32))
 
 
-def add_loop_edge(g: PoseGraph, i, j, rel, cfg: PoseGraphConfig) -> PoseGraph:
-    """Parity: addLoopEdge at 10x information weight (LoopClosure.cpp:275-280)."""
-    return _add_edge(g, i, j, rel, jnp.asarray(cfg.loop_edge_weight, jnp.float32))
+def add_loop_edge(g: PoseGraph, i, j, rel, cfg: PoseGraphConfig,
+                  t_weight=1.0) -> PoseGraph:
+    """Parity: addLoopEdge at 10x information weight (LoopClosure.cpp:275-280).
+    t_weight: parallax-derived translation confidence — a revisit at
+    near-zero baseline verifies with a perfect rotation but a garbage
+    unit translation, which at 10x weight corrupts the graph."""
+    return _add_edge(g, i, j, rel, jnp.asarray(cfg.loop_edge_weight, jnp.float32),
+                     t_weight)
 
 
 # ------------------------------------------------------------------ residuals
@@ -128,20 +165,29 @@ def _edge_residuals_and_jacobians(g: PoseGraph):
     return jax.vmap(one)(Ti, Tj, Tm)
 
 
+def _edge_weight6(g: PoseGraph):
+    """(E, 6) per-residual-component weights: scalar edge weight with
+    the translation components (twist [rho, phi]: first 3) additionally
+    scaled by the parallax-derived translation confidence edge_twt."""
+    w = g.edge_weight * g.edge_valid.astype(jnp.float32)  # (E,)
+    ones = jnp.ones_like(g.edge_twt)
+    comp = jnp.stack([g.edge_twt] * 3 + [ones] * 3, -1)   # (E, 6)
+    return w[:, None] * comp
+
+
 def _graph_cost(g: PoseGraph, node_pose):
     Ti = node_pose[g.edge_i]
     Tj = node_pose[g.edge_j]
     zero = jnp.zeros(6, jnp.float32)
     r = jax.vmap(lambda a, b, m: _edge_residual(a, b, m, zero, zero))(Ti, Tj, g.edge_rel)
-    w = g.edge_weight * g.edge_valid.astype(jnp.float32)
-    return jnp.sum(w * jnp.sum(r * r, -1))
+    return jnp.sum(_edge_weight6(g) * r * r)
 
 
 # ---------------------------------------------------------------------- solve
 def _solve_normal_eqs(g: PoseGraph, r, Ji, Jj, lam, cg_iters):
     """PCG on (J^T W J + lam*I) x = -J^T W r with node 0 gauge-fixed."""
     n = g.node_pose.shape[0]
-    w = g.edge_weight * g.edge_valid.astype(jnp.float32)  # (E,)
+    w6 = _edge_weight6(g)  # (E, 6) per-residual-component weights
     ei, ej = g.edge_i, g.edge_j
     free = g.node_valid & (jnp.arange(n) != 0)  # (N,) gauge: fix node 0
     freef = free.astype(jnp.float32)[:, None]
@@ -154,22 +200,22 @@ def _solve_normal_eqs(g: PoseGraph, r, Ji, Jj, lam, cg_iters):
         x = project(x)
         yi = jnp.einsum("eab,eb->ea", Ji, x[ei])
         yj = jnp.einsum("eab,eb->ea", Jj, x[ej])
-        y = (yi + yj) * w[:, None]  # (E, 6)
+        y = (yi + yj) * w6  # (E, 6)
         out = jnp.zeros_like(x)
         out = out.at[ei].add(jnp.einsum("eba,eb->ea", Ji, y))
         out = out.at[ej].add(jnp.einsum("eba,eb->ea", Jj, y))
         return project(out + lam * x)
 
     b = jnp.zeros((n, 6), jnp.float32)
-    wr = r * w[:, None]
+    wr = r * w6
     b = b.at[ei].add(-jnp.einsum("eba,eb->ea", Ji, wr))
     b = b.at[ej].add(-jnp.einsum("eba,eb->ea", Jj, wr))
     b = project(b)
 
     # block-Jacobi preconditioner: per-node 6x6 diagonal blocks
     blocks = jnp.zeros((n, 6, 6), jnp.float32)
-    blocks = blocks.at[ei].add(jnp.einsum("eba,ebc->eac", Ji, Ji * w[:, None, None]))
-    blocks = blocks.at[ej].add(jnp.einsum("eba,ebc->eac", Jj, Jj * w[:, None, None]))
+    blocks = blocks.at[ei].add(jnp.einsum("eba,ebc->eac", Ji, Ji * w6[:, :, None]))
+    blocks = blocks.at[ej].add(jnp.einsum("eba,ebc->eac", Jj, Jj * w6[:, :, None]))
     from aria_slam_tpu.ops.linalg import inv_psd
 
     blocks = blocks + (lam + 1e-6) * jnp.eye(6)[None]

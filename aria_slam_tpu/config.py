@@ -76,6 +76,21 @@ class RansacConfig:
     min_matches: int = 8
     min_inliers: int = 10  # euroc_eval requires >10 inliers (euroc_eval.cpp:191)
     refine: bool = True
+    # Sampson Gauss-Newton polish iterations on the essential manifold
+    # (epipolar.polish_pose_sampson); 0 disables. The linear 8-point
+    # stage alone leaves several degrees of rotation error even on
+    # sub-pixel correspondences.
+    polish_iters: int = 8
+    # dominant-plane degeneracy rescue (ops/homography.py): when the
+    # homography consensus covers >= h_support_ratio of the E consensus,
+    # the scene is plane-dominant and (R, t) is re-derived from the
+    # homography decomposition. A degenerate E always out-votes H (the
+    # compatible-E family has a spare dof to absorb near-plane points),
+    # so the bar must sit below 1: 0.72 corresponds to ORB-SLAM's
+    # S_H/(S_H+S_F) > 0.42 model-selection ratio.
+    h_fallback: bool = True
+    h_hypotheses: int = 64
+    h_support_ratio: float = 0.72
     seed: int = 7
 
 
@@ -150,10 +165,44 @@ class PoseGraphConfig:
     max_nodes: int = 4096
     max_edges: int = 8192
     loop_edge_weight: float = 10.0
+    # wide-baseline backbone edges (chunked mode): every frame also gets
+    # an edge to frame i-mapper.pair_lag from a RANSAC on the lag pair.
+    # Consecutive 10-30 fps frames sit at ~1-2% baseline/depth where the
+    # essential-matrix translation DIRECTION is noise-bound (median ~60
+    # deg error measured on the rotloop benchmark); at lag L the ratio
+    # grows ~L-fold and direction error drops accordingly, so the pose
+    # graph blends short edges (good rotation) with lag edges (good
+    # translation). 0 disables. Requires a metric vo_scale_mode.
+    backbone_weight: float = 2.0
+    # translation weight of the consecutive-frame chain edges when the
+    # backbone is active. Their translations are low-parallax noise
+    # (measured 1.5x |t| bias on the rotloop benchmark while backbone
+    # lag pairs sat at 0.73x), but down-weighting them measured WORSE
+    # (0.3 -> ATE 0.677 vs 1.0 -> 0.620 on rotloop-240): even biased,
+    # the dense chain constrains the local trajectory shape. Keep 1.0.
+    odom_t_weight: float = 1.0
     lm_iterations: int = 10
     final_lm_iterations: int = 50
     cg_iterations: int = 64
     init_lambda: float = 1e-4
+
+
+@dataclasses.dataclass(frozen=True)
+class ChunkBaConfig:
+    """Chunk-local multiview bundle adjustment (backend/chunk_ba.py) —
+    a refinement stage the reference does not have: per chunk, link
+    RANSAC-inlier matches into feature tracks and alternate closed-form
+    multiview triangulation with batched per-pose Gauss-Newton."""
+
+    enabled: bool = True
+    outer_iters: int = 8     # joint Schur GN steps (one triangulation each)
+    pose_iters: int = 2      # (legacy alternation fallback only)
+    damping: float = 1e-3    # trace-relative LM damping
+    prior_weight: float = 1e-2  # twist prior to the initial chain poses
+                                # (monocular scale-gauge anchor)
+    huber_px: float = 2.0    # robust kernel width on the pixel residual
+    gate_px: float = 12.0    # hard outlier gate
+    min_depth: float = 0.05  # reject observations behind the camera
 
 
 @dataclasses.dataclass(frozen=True)
@@ -169,6 +218,7 @@ class PipelineConfig:
     mapper: MapperConfig = MapperConfig()
     detector: DetectorConfig = DetectorConfig()
     pose_graph: PoseGraphConfig = PoseGraphConfig()
+    chunk_ba: ChunkBaConfig = ChunkBaConfig()
 
     enable_loop_closure: bool = True
     enable_detection: bool = False  # detector weights are optional
@@ -207,6 +257,7 @@ class PipelineConfig:
             "mapper": MapperConfig,
             "detector": DetectorConfig,
             "pose_graph": PoseGraphConfig,
+            "chunk_ba": ChunkBaConfig,
         }
         kwargs = {}
         for key, val in raw.items():

@@ -152,6 +152,13 @@ class PoseGraph:
     edge_j: jnp.ndarray      # (E,) int32
     edge_rel: jnp.ndarray    # (E, 4, 4) float32 — measured T_i^-1 T_j
     edge_weight: jnp.ndarray # (E,) float32
+    # translation weight in [0, 1]: scales the translation components of
+    # the residual relative to rotation. Monocular relative poses have a
+    # parallax-dependent translation quality — a zero-baseline loop pair
+    # yields a perfect rotation but a MEANINGLESS unit translation, so
+    # such edges contribute rotation-only (the reference feeds the raw
+    # recoverPose t at full weight, LoopClosure.cpp:176-183)
+    edge_twt: jnp.ndarray    # (E,) float32
     edge_valid: jnp.ndarray  # (E,) bool
     num_nodes: jnp.ndarray   # () int32
     num_edges: jnp.ndarray   # () int32

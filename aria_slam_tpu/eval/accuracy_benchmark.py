@@ -1,0 +1,132 @@
+"""Long-trajectory accuracy benchmark with teeth (VERDICT r1 #5).
+
+A 240-frame rotation-heavy synthetic trajectory with a genuine revisit
+loop (io/synthetic_scene.py kind="rotloop": the 20 s period brings the
+camera back through its start pose with +/-34 deg panning segments) and
+an optional moving occluder — the stand-in for EuRoC MH-class sequences
+on a rig with no dataset download. Runs the full pipeline in three
+configurations and reports ATE/RPE for each:
+
+  vo       : monocular VO only (fusion/loop closure off)
+  vio      : VO + 15-state EKF fusion (ate_fused is the VIO track)
+  vio_lc   : VIO + loop closure + pose graph
+
+Expected orderings (asserted by tests/test_accuracy.py on a smaller
+scene, recorded in BASELINE.md by this script):
+  ate(vio fused) <= ate(vo) and ate(vio_lc) <= ate(vio).
+
+Usage:
+    python -m aria_slam_tpu.eval.accuracy_benchmark [--frames 240]
+        [--chunk 16] [--online] [--occluder] [--out DIR] [--full-res]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+from aria_slam_tpu.config import (
+    CameraConfig, LoopClosureConfig, MapperConfig, OrbConfig,
+    PipelineConfig, PoseGraphConfig, RansacConfig,
+)
+
+SMALL_CAM = CameraConfig(width=320, height=240, fx=200.0, fy=200.0,
+                         cx=160.0, cy=120.0, k1=0.0, k2=0.0, p1=0.0, p2=0.0)
+
+
+def benchmark_config(full_res: bool = False, frames: int = 240) -> PipelineConfig:
+    cam = (CameraConfig(k1=0.0, k2=0.0, p1=0.0, p2=0.0) if full_res
+           else SMALL_CAM)
+    orb = (OrbConfig() if full_res
+           else OrbConfig(num_features=384, num_levels=3))
+    return PipelineConfig(
+        camera=cam,
+        orb=orb,
+        ransac=RansacConfig(num_hypotheses=128 if not full_res else 256),
+        loop=LoopClosureConfig(max_keyframes=512, min_frames_between=150,
+                               min_score=0.3, min_matches=40),
+        mapper=MapperConfig(max_points=100_000),
+        pose_graph=PoseGraphConfig(
+            max_nodes=max(256, frames + 16),
+            max_edges=max(1024, 3 * frames),
+            lm_iterations=5, cg_iterations=32),
+    )
+
+
+def run_benchmark(scene_dir: str, cfg: PipelineConfig, chunk: int,
+                  out_root: str, verbose: bool = True) -> dict:
+    from aria_slam_tpu.eval import euroc_eval
+
+    report = {}
+    variants = {
+        "vo": dataclasses.replace(cfg, enable_fusion=False,
+                                  enable_loop_closure=False),
+        "vio": dataclasses.replace(cfg, enable_loop_closure=False),
+        "vio_lc": cfg,
+    }
+    for name, vcfg in variants.items():
+        res = euroc_eval.run(scene_dir, out_dir=os.path.join(out_root, name),
+                             config=vcfg, verbose=False, chunk=chunk)
+        report[name] = {
+            k: (round(float(v), 4) if isinstance(v, float) else v)
+            for k, v in res.items()
+        }
+        if verbose:
+            print(f"[{name}] {json.dumps(report[name])}", flush=True)
+    return report
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--frames", type=int, default=240)
+    ap.add_argument("--fps", type=float, default=10.0)
+    ap.add_argument("--chunk", type=int, default=16,
+                    help="0 = online per-frame mode")
+    ap.add_argument("--occluder", action="store_true")
+    ap.add_argument("--full-res", action="store_true",
+                    help="752x480 / 2000 features (TPU-sized)")
+    ap.add_argument("--out", default="/tmp/accuracy_benchmark")
+    ap.add_argument("--scene", default=None,
+                    help="reuse an existing generated scene dir")
+    args = ap.parse_args()
+
+    from aria_slam_tpu.io import synthetic_scene
+
+    cfg = benchmark_config(args.full_res, args.frames)
+    scene = args.scene or os.path.join(
+        args.out, f"scene_{args.frames}{'_occ' if args.occluder else ''}"
+        f"{'_full' if args.full_res else ''}")
+    if not os.path.exists(os.path.join(scene, "mav0")):
+        synthetic_scene.generate(scene, num_frames=args.frames, fps=args.fps,
+                                 cam=cfg.camera, depth=4.0, traj="rotloop",
+                                 occluder=args.occluder)
+        print(f"scene generated: {scene}", flush=True)
+
+    report = run_benchmark(scene, cfg, args.chunk, args.out)
+    report["meta"] = {
+        "frames": args.frames, "fps": args.fps, "chunk": args.chunk,
+        "occluder": args.occluder, "full_res": args.full_res,
+        "path_length_m": "~9.5 (2 m span sweep + rotations, 20 s period)",
+    }
+    ordering = {
+        "vio_fused_beats_vo": report["vio"].get("ate_fused_rmse_m", 1e9)
+        <= report["vo"]["ate_rmse_m"],
+        "lc_improves_vio": report["vio_lc"]["ate_rmse_m"]
+        <= report["vio"]["ate_rmse_m"],
+        "loops_found": report["vio_lc"]["loops"],
+    }
+    report["ordering"] = ordering
+    with open(os.path.join(args.out, "report.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    main()

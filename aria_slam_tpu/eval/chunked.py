@@ -100,9 +100,10 @@ class ChunkedSlam:
                 z2s = jnp.where(zgood, z2, 0.0)
                 m2s = zgood & delta.success
                 return (delta.R, delta.t, delta.success, delta.num_inliers,
-                        pin, pin_ok, zp, mp, z2s, m2s)
+                        pin, pin_ok, zp, mp, z2s, m2s,
+                        delta.inlier_mask & valid)
 
-            (R, t, ok, ninl, pins, pin_oks, ZP, MP, Z2, M2) = jax.vmap(
+            (R, t, ok, ninl, pins, pin_oks, ZP, MP, Z2, M2, CINL) = jax.vmap(
                 pose_one)(prev, cur, m, dyn, keys)
 
             # pair-to-pair scale ratios through the shared frame:
@@ -125,20 +126,54 @@ class ChunkedSlam:
                 lprev.valid, ml.train_idx, 1
             )
 
-            hists = keyframe_db.descriptor_histogram(
-                cur.desc, cur.valid
-            )  # (C, 256)
-            return {
+            out = {
                 "R": R, "t": t, "ok": ok, "ninl": ninl,
                 "pins": pins, "pin_oks": pin_oks,
                 "ratios": ratios, "rcounts": rcounts,
                 "Z2": Z2, "M2": M2,
                 "uvl_prev": uvl_prev, "uvl_cur": lcur.xy, "lvalid": lvalid,
                 "desc": cur.desc, "xy": cur.xy, "dvalid": cur.valid,
-                "hists": hists,
+                "hists": keyframe_db.descriptor_histogram(
+                    cur.desc, cur.valid),  # (C, 256)
             }
 
+            if cfg.chunk_ba.enabled:
+                # chunk BA inputs: full undistorted keypoints + the
+                # consecutive-pair match links (backend/chunk_ba.py)
+                out["fxy"] = feats.xy          # (C+1, N, 2)
+                out["fvalid"] = feats.valid    # (C+1, N)
+                out["midx"] = m.train_idx      # (C, N)
+                out["cinl"] = CINL             # (C, N)
+
+            # wide-baseline backbone: RANSAC the lag pairs too. At lag L
+            # the baseline/depth ratio grows ~L-fold past the noise floor
+            # that makes consecutive-pair translation DIRECTIONS unusable
+            # (median ~60 deg error measured at 1.7% baseline/depth);
+            # these become weighted pose-graph edges alongside the chain
+            # (config.PoseGraphConfig.backbone_weight).
+            if cfg.pose_graph.backbone_weight > 0 and cfg.vo_scale_mode != "unit":
+                keys_l = jax.random.split(
+                    jax.random.fold_in(key, 1), frames.shape[0] - lag)
+
+                def pose_lag(uv1, uv2, vv, k):
+                    delta = epipolar.estimate_relative_pose(
+                        uv1, uv2, vv, K, cfg.ransac, k)
+                    z1, _, zg = epipolar.pair_depths(delta, uv1, uv2, vv, K)
+                    pin, pok = epipolar.pin_scale(z1, zg, cfg.vo_scene_depth)
+                    return delta.R, delta.t, delta.success, pin, pok
+
+                (out["Rl"], out["tl"], out["okl"], out["pinl"],
+                 out["pinokl"]) = jax.vmap(pose_lag)(
+                    uvl_prev, lcur.xy, lvalid, keys_l)
+            return out
+
         self._frontend = jax.jit(frontend)
+        if cfg.chunk_ba.enabled:
+            from aria_slam_tpu.backend import chunk_ba
+
+            self._ba = jax.jit(
+                lambda p, fxy, fv, mi, ci: chunk_ba.refine(
+                    p, fxy, fv, mi, ci, K, cfg.chunk_ba))
         # donated carries: DB/map/graph hold large padded buffers — without
         # donation every functional update copies them
         self._map_insert = jax.jit(
@@ -146,7 +181,19 @@ class ChunkedSlam:
                 m, K, T1, T2, uv1, uv2, v, imgs, cfg.mapper),
             donate_argnums=(0,),
         )
-        self._extend = jax.jit(pose_graph.extend_chain, donate_argnums=(0,))
+        # chain-edge translation weight: down-weighted only when the
+        # backbone carries the better-conditioned translations
+        backbone_on = (cfg.pose_graph.backbone_weight > 0
+                       and cfg.vo_scale_mode != "unit")
+        odom_twt = cfg.pose_graph.odom_t_weight if backbone_on else 1.0
+        self._extend = jax.jit(
+            lambda g, p, r, f: pose_graph.extend_chain(g, p, r, f, odom_twt),
+            donate_argnums=(0,))
+        self._add_backbone = jax.jit(
+            lambda g, i, j, r, v: pose_graph.add_edges_batch(
+                g, i, j, r, cfg.pose_graph.backbone_weight, v),
+            donate_argnums=(0,),
+        )
         self._kf_insert = jax.jit(keyframe_db.add_keyframes_batch,
                                   donate_argnums=(0,))
         self._lc_candidates = jax.jit(
@@ -223,8 +270,8 @@ class ChunkedSlam:
 
         self._lc_scores_chunk = jax.jit(scores_chunk)
         self._add_loop = jax.jit(
-            lambda g, i, j, rel: pose_graph.add_loop_edge(g, i, j, rel,
-                                                          cfg.pose_graph),
+            lambda g, i, j, rel, twt: pose_graph.add_loop_edge(
+                g, i, j, rel, cfg.pose_graph, t_weight=twt),
             donate_argnums=(0,),
         )
         self._optimize = jax.jit(lambda g: pose_graph.optimize(g, cfg.pose_graph))
@@ -301,6 +348,7 @@ class ChunkedSlam:
         poses = []
         rels = []
         T = self.T
+        T_start = T.copy()  # overlap-frame pose: the chunk BA gauge
         for i in range(c):
             if ok[i]:
                 T_cur_prev = np.eye(4, dtype=np.float32)
@@ -315,12 +363,51 @@ class ChunkedSlam:
         self.T = T
         poses_np = np.stack(poses)
         rels = np.stack(rels)
+
+        # ---- chunk-local multiview BA: refine the chained poses against
+        # feature tracks (backend/chunk_ba.py). The chunk-start pose is
+        # the gauge, so the refinement is internal to the chunk and the
+        # rebase-leak argument above still holds; the refined relative
+        # motions REPLACE the two-view rels as the edge measurements
+        # (they reconcile all overlapping pairs instead of one).
+        if cfg.chunk_ba.enabled and "fxy" in out:
+            poses_all = np.concatenate(
+                [T_start[None], poses_np], 0).astype(np.float32)
+            refined, err_b, err_a = self._ba(
+                jnp.asarray(poses_all), out["fxy"], out["fvalid"],
+                out["midx"], out["cinl"])
+            refined = np.asarray(refined)
+            if np.all(np.isfinite(refined)):
+                poses_np = refined[1:]
+                rels = np.einsum(
+                    "nij,njk->nik", np.linalg.inv(refined[:-1]), refined[1:]
+                ).astype(np.float32)
+                self.T = poses_np[-1].copy()
         self._chunk_scales = scales  # for the loop-verify call below
 
         # ---- pose graph chunk append
         first_node = self.frame_count
         self.graph = self._extend(self.graph, jnp.asarray(poses_np),
                                   jnp.asarray(rels), first_node)
+
+        # ---- wide-baseline backbone edges (node i-lag -> node i)
+        if "Rl" in out:
+            Rl = np.asarray(out["Rl"])
+            tl = np.asarray(out["tl"])
+            pinl = np.asarray(out["pinl"])
+            bvalid = np.asarray(out["okl"]) & np.asarray(out["pinokl"])
+            nlag = Rl.shape[0]  # == c + 1 - lag
+            Tl = np.tile(np.eye(4, dtype=np.float32), (nlag, 1, 1))
+            Tl[:, :3, :3] = Rl
+            Tl[:, :3, 3] = tl * pinl[:, None]
+            i_idx = first_node - 1 + np.arange(nlag, dtype=np.int32)
+            j_idx = i_idx + self.lag
+            # same convention as the chain: edge (i, j) measures
+            # T_i^-1 T_j = inv(T_{late<-early})
+            rels_l = np.linalg.inv(Tl).astype(np.float32)
+            self.graph = self._add_backbone(
+                self.graph, jnp.asarray(i_idx), jnp.asarray(j_idx),
+                jnp.asarray(rels_l), jnp.asarray(bvalid))
 
         # ---- mapping over lag pairs (i-lag, i): camera-from-world ends
         if cfg.enable_mapping:
@@ -365,7 +452,7 @@ class ChunkedSlam:
                         fidx[n_] = i
                         sl[n_] = slots_np[i, j]
                         live[n_] = True
-                    passed, _, T_rels = self._lc_verify_batch(
+                    passed, _, T_rels, twts = self._lc_verify_batch(
                         self.db, out["desc"], out["xy"], out["dvalid"],
                         out["Z2"], out["M2"],
                         jnp.asarray(self._chunk_scales),
@@ -373,6 +460,7 @@ class ChunkedSlam:
                     )
                     passed = np.asarray(passed) & live
                     T_rels = np.asarray(T_rels)
+                    twts = np.asarray(twts)
                     db_fids = np.asarray(self.db.frame_id)
                     done_frames: set = set()
                     for n_ in range(VERIFY_MAX):
@@ -385,7 +473,7 @@ class ChunkedSlam:
                         # measurement T_i^-1 T_j for (i=matched, j=node)
                         self.graph = self._add_loop(
                             self.graph, matched_node, node,
-                            jnp.asarray(T_rels[n_]),
+                            jnp.asarray(T_rels[n_]), jnp.asarray(twts[n_]),
                         )
                         self.num_loops += 1
                         loop_found = True

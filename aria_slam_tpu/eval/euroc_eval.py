@@ -84,6 +84,7 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
     else:
         pipe = SlamPipeline(config)
         t_prev = -np.inf
+        online_fused = [] if config.enable_fusion else None
         for k in range(n_frames):
             ts = data.image_ts[k]
             img = euroc.load_image(data.image_paths[k])
@@ -93,6 +94,8 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
             f0 = time.perf_counter()
             pipe.process_frame(img, ts)
             frame_times.append(time.perf_counter() - f0)
+            if online_fused is not None:
+                online_fused.append(np.asarray(pipe.last_output.fused_pos))
             t_prev = ts
 
             if verbose and (k + 1) % 100 == 0:
@@ -113,6 +116,10 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
     # reported alongside (the reference's euroc_eval also keeps the raw
     # VO trajectory as its estimate, euroc_eval.cpp:203-209)
     fused_pos = None
+    if (not (chunk and chunk > 1)) and config.enable_fusion:
+        # online mode: the EKF ran inside every frame step; its position
+        # track IS the fused trajectory (mirrors chunked mode's export)
+        fused_pos = np.stack(online_fused) if online_fused else None
     if chunk and chunk > 1 and config.enable_fusion and len(data.imu_ts):
         import jax.numpy as jnp
 
@@ -135,17 +142,25 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
 
     # associate with ground truth by interpolation
     gt_pos = []
+    gt_quat = []
     keep = []
     for i, t in enumerate(est_ts):
         gt = euroc.interpolate_gt(data, t)
         if gt is not None:
             gt_pos.append(gt[0])
+            gt_quat.append(gt[1])
             keep.append(i)
     gt_pos = np.asarray(gt_pos)
     est_kept = est_pos[keep] if keep else est_pos[:0]
 
     ate = metrics.ate_rmse(est_kept, gt_pos) if len(gt_pos) else float("nan")
     rpe = metrics.rpe_rmse(est_kept, gt_pos) if len(gt_pos) else float("nan")
+    if len(gt_pos):
+        est_R = np.stack([pipe.trajectory[i][1][:3, :3] for i in keep])
+        rpe_rot = metrics.rpe_rot_rmse_deg(
+            est_R, metrics.quat_to_mat_np(np.asarray(gt_quat)))
+    else:
+        rpe_rot = float("nan")
     # median: robust to one-off mid-run compiles (e.g. the first loop
     # closure event compiling the verify/optimize programs)
     mean_frame_ms = float(np.median(frame_times[1:]) * 1000) if len(frame_times) > 1 else 0.0
@@ -190,6 +205,7 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
         "map_points": int(map_points),
         "ate_rmse_m": ate,
         "rpe_rmse_m": rpe,
+        "rpe_rot_deg": rpe_rot,
     }
     if fused_pos is not None and len(gt_pos):
         results["ate_fused_rmse_m"] = metrics.ate_rmse(fused_pos[keep], gt_pos)

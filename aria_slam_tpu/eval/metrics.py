@@ -53,3 +53,36 @@ def rpe_rmse(est: np.ndarray, gt: np.ndarray, delta: int = 10) -> float:
     d_gt = gt[delta:] - gt[:-delta]
     err = np.linalg.norm(d_est - d_gt, axis=1)
     return float(np.sqrt((err**2).mean()))
+
+
+def quat_to_mat_np(q: np.ndarray) -> np.ndarray:
+    """(..., 4) (w,x,y,z) unit quaternions -> (..., 3, 3) rotations."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    R = np.empty(q.shape[:-1] + (3, 3), np.float64)
+    R[..., 0, 0] = 1 - 2 * (y * y + z * z)
+    R[..., 0, 1] = 2 * (x * y - w * z)
+    R[..., 0, 2] = 2 * (x * z + w * y)
+    R[..., 1, 0] = 2 * (x * y + w * z)
+    R[..., 1, 1] = 1 - 2 * (x * x + z * z)
+    R[..., 1, 2] = 2 * (y * z - w * x)
+    R[..., 2, 0] = 2 * (x * z - w * y)
+    R[..., 2, 1] = 2 * (y * z + w * x)
+    R[..., 2, 2] = 1 - 2 * (x * x + y * y)
+    return R
+
+
+def rpe_rot_rmse_deg(est_R: np.ndarray, gt_R: np.ndarray,
+                     delta: int = 10) -> float:
+    """Rotation relative-pose error RMSE (degrees) over a delta-frame
+    baseline: angle of (R_est_i^T R_est_j)(R_gt_i^T R_gt_j)^T. The
+    reference's RPE is position-only (euroc_eval.cpp:43-61); the
+    rotation component is the standard TUM-benchmark complement and is
+    frame-alignment-free."""
+    if len(est_R) <= delta:
+        return float("nan")
+    d_est = np.einsum("nij,nik->njk", est_R[:-delta], est_R[delta:])
+    d_gt = np.einsum("nij,nik->njk", gt_R[:-delta], gt_R[delta:])
+    err = np.einsum("nij,nkj->nik", d_est, d_gt)
+    tr = np.clip((np.trace(err, axis1=1, axis2=2) - 1.0) / 2.0, -1.0, 1.0)
+    ang = np.degrees(np.arccos(tr))
+    return float(np.sqrt((ang**2).mean()))

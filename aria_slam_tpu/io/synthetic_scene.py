@@ -42,17 +42,18 @@ def _rot_y(a):
     return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float64)
 
 
-def trajectory(t, span=2.0, depth=4.0, loop=True, kind="sweep"):
+def trajectory(t, span=2.0, depth=4.0, loop=True, kind="sweep",
+               period=20.0):
     """Smooth sweep in front of the plane (world frame: plane at z=depth,
     camera starts at origin looking +z). Returns pos (…,3), R world-from-cam.
 
-    The path is periodic (20 s), revisiting the start (exercises loop
-    closure). kind="sweep" is the gentle benchmark path; kind="rotloop"
-    adds rotation-heavy panning segments (±34 deg yaw at up to ~2.7 deg/
-    frame at 10 fps) — the regime where a wrong loop-edge convention or
-    a weak RANSAC shows up in ATE (VERDICT r1 missing #3)."""
+    The path is periodic (`period` seconds), revisiting the start
+    (exercises loop closure). kind="sweep" is the gentle benchmark path;
+    kind="rotloop" adds rotation-heavy panning segments (±34 deg yaw at
+    up to ~2.7 deg/frame at 10 fps) — the regime where a wrong loop-edge
+    convention or a weak RANSAC shows up in ATE (VERDICT r1 missing #3)."""
     t = np.asarray(t, np.float64)
-    w = 2 * np.pi / 20.0  # 20 s period
+    w = 2 * np.pi / period
     x = span * np.sin(w * t)
     y = 0.35 * span * np.sin(2 * w * t)
     z = 0.25 * np.sin(w * t)
@@ -67,32 +68,96 @@ def trajectory(t, span=2.0, depth=4.0, loop=True, kind="sweep"):
     return pos, R
 
 
-def render_frame(cam: CameraConfig, tex: np.ndarray, pos, R_wc, depth=4.0,
-                 plane_half=8.0):
-    """Render the textured plane (z=depth, |x|,|y| <= plane_half) from the
-    camera via exact homography."""
+def _warp_plane(cam: CameraConfig, tex, corners_world, R_wc, pos):
+    """Warp a texture onto the quad `corners_world` ((4,3), CCW) via the
+    exact plane homography. Returns (img, mask) or None if the quad is
+    behind the camera."""
     import cv2
 
-    corners_world = np.array(
-        [
+    R_cw = np.asarray(R_wc).T
+    t_cw = -R_cw @ np.asarray(pos)
+    K = cam.K.astype(np.float64)
+    pc = corners_world @ R_cw.T + t_cw
+    if np.any(pc[:, 2] < 0.2):
+        return None
+    uv = (pc[:, :2] / pc[:, 2:3]) * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
+    size = tex.shape[0]
+    tex_corners = np.array(
+        [[0, 0], [size - 1, 0], [size - 1, size - 1], [0, size - 1]],
+        np.float32)
+    H = cv2.getPerspectiveTransform(tex_corners, uv.astype(np.float32))
+    img = cv2.warpPerspective(
+        tex, H, (cam.width, cam.height), flags=cv2.INTER_LINEAR,
+        borderMode=cv2.BORDER_CONSTANT, borderValue=0,
+    )
+    mask = cv2.warpPerspective(
+        np.full_like(tex, 255), H, (cam.width, cam.height),
+        flags=cv2.INTER_NEAREST, borderMode=cv2.BORDER_CONSTANT,
+        borderValue=0,
+    )
+    return img, mask
+
+
+def scene_layers(depth=4.0, seed=0):
+    """Multi-depth scene geometry: a far wall plus textured panels at
+    staggered depths. A SINGLE plane makes the essential matrix
+    degenerate (the homography ambiguity leaves the translation
+    direction unobservable — measured ~60 deg direction error for every
+    lag on the old one-plane scenes, for this framework's VO and for
+    any E-matrix VO incl. the reference's); real EuRoC halls have rich
+    depth, so the benchmark scene must too. Returns [(corners(4,3),
+    texture)] ordered far to near."""
+    rng = np.random.default_rng(seed + 11)
+    layers = []
+
+    def quad(cx, cy, z, hw, hh):
+        return np.array([
+            [cx - hw, cy - hh, z],
+            [cx + hw, cy - hh, z],
+            [cx + hw, cy + hh, z],
+            [cx - hw, cy + hh, z],
+        ])
+
+    # far wall: always fills the FOV on the benchmark trajectories
+    layers.append((quad(0.0, 0.0, depth + 5.0, 20.0, 20.0),
+                   _texture(2048, seed)))
+    # mid/near panels: posters and boxes at staggered depths
+    zs = [depth + 2.0, depth + 1.0, depth, depth - 1.2, depth - 2.0]
+    for k, z in enumerate(zs):
+        for _ in range(3):
+            cx = rng.uniform(-5.0, 5.0)
+            cy = rng.uniform(-2.5, 2.5)
+            hw = rng.uniform(0.5, 1.3) * (z / depth)
+            hh = rng.uniform(0.4, 1.0) * (z / depth)
+            layers.append((quad(cx, cy, z, hw, hh),
+                           _texture(512, seed + 100 + 7 * k + abs(int(cx * 31)))))
+    return layers
+
+
+def render_frame(cam: CameraConfig, tex, pos, R_wc, depth=4.0,
+                 plane_half=8.0, layers=None):
+    """Render the scene from the camera via exact per-plane homographies
+    (projected feature geometry is exactly consistent with the GT
+    trajectory). `layers`: multi-depth geometry from scene_layers();
+    falls back to the legacy single plane (z=depth) when None."""
+    if layers is None:
+        corners = np.array([
             [-plane_half, -plane_half, depth],
             [plane_half, -plane_half, depth],
             [plane_half, plane_half, depth],
             [-plane_half, plane_half, depth],
-        ]
-    )
-    R_cw = R_wc.T
-    t_cw = -R_cw @ np.asarray(pos)
-    K = cam.K.astype(np.float64)
-    pc = corners_world @ R_cw.T + t_cw
-    uv = (pc[:, :2] / pc[:, 2:3]) * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
-    size = tex.shape[0]
-    tex_corners = np.array([[0, 0], [size - 1, 0], [size - 1, size - 1], [0, size - 1]], np.float32)
-    H = cv2.getPerspectiveTransform(tex_corners, uv.astype(np.float32))
-    img = cv2.warpPerspective(
-        tex, H, (cam.width, cam.height), flags=cv2.INTER_LINEAR,
-        borderMode=cv2.BORDER_CONSTANT, borderValue=70,
-    )
+        ])
+        out = _warp_plane(cam, tex, corners, R_wc, pos)
+        if out is None:
+            return np.full((cam.height, cam.width), 70, np.uint8)
+        return np.where(out[1] > 0, out[0], 70).astype(np.uint8)
+
+    img = np.full((cam.height, cam.width), 70, np.uint8)
+    for corners, ltex in layers:  # far -> near: near overwrites far
+        out = _warp_plane(cam, ltex, corners, R_wc, pos)
+        if out is None:
+            continue
+        img = np.where(out[1] > 0, out[0], img)
     return img
 
 
@@ -106,16 +171,24 @@ def generate(
     depth: float = 4.0,
     traj: str = "sweep",
     occluder: bool = False,
+    period: float = 20.0,
+    structure: str = "layers",
 ) -> str:
     """Writes an ASL dataset under out_dir/mav0. Returns out_dir.
 
-    traj: trajectory kind ("sweep" | "rotloop", see trajectory()).
+    traj: trajectory kind ("sweep" | "rotloop", see trajectory());
+    period: revisit period in seconds (the loop-closure opportunity
+    starts after period*fps frames).
     occluder: paste a moving texture-free block over part of each frame
-    (an occlusion-like appearance change crossing the scene)."""
+    (an occlusion-like appearance change crossing the scene).
+    structure: "layers" = multi-depth scene (default — a single plane
+    makes E-matrix translation unobservable, see scene_layers());
+    "plane" = legacy single plane (a degeneracy stress test)."""
     import cv2
 
     cam = cam or CameraConfig(k1=0.0, k2=0.0, p1=0.0, p2=0.0)  # no distortion
     tex = _texture(seed=seed)
+    layers = scene_layers(depth, seed) if structure == "layers" else None
     mav = os.path.join(out_dir, "mav0")
     cam_data = os.path.join(mav, "cam0", "data")
     os.makedirs(cam_data, exist_ok=True)
@@ -129,8 +202,8 @@ def generate(
     occ_rng = np.random.default_rng(seed + 7)
     for k in range(num_frames):
         t = k / fps
-        pos, R = trajectory(t, depth=depth, kind=traj)
-        img = render_frame(cam, tex, pos, R, depth=depth)
+        pos, R = trajectory(t, depth=depth, kind=traj, period=period)
+        img = render_frame(cam, tex, pos, R, depth=depth, layers=layers)
         if occluder:
             # featureless block drifting across the view: texture is
             # hidden-then-revealed like a passing foreground object
@@ -168,9 +241,9 @@ def generate(
     n_imu = int(duration * imu_hz)
     ti = np.arange(1, n_imu + 1) / imu_hz
     dt = 1e-4
-    pos_p, R_p = trajectory(ti - dt, depth=depth, kind=traj)
-    pos_c, R_c = trajectory(ti, depth=depth, kind=traj)
-    pos_n, R_n = trajectory(ti + dt, depth=depth, kind=traj)
+    pos_p, R_p = trajectory(ti - dt, depth=depth, kind=traj, period=period)
+    pos_c, R_c = trajectory(ti, depth=depth, kind=traj, period=period)
+    pos_n, R_n = trajectory(ti + dt, depth=depth, kind=traj, period=period)
     acc_world = (pos_n - 2 * pos_c + pos_p) / dt**2
     g = np.array([0.0, 0.0, -9.81])
     f_world = acc_world - g

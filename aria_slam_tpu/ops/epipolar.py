@@ -153,6 +153,84 @@ def recover_pose(E, p1, p2, weights):
     return cands_R[best], cands_t[best], counts[best]
 
 
+def _tangent_basis(t):
+    """(3, 2) orthonormal basis of the plane normal to unit t (the
+    translation's 2-dof update space on the sphere)."""
+    # pick the world axis least aligned with t for a stable first leg
+    a = jnp.where(jnp.abs(t[0]) < 0.7,
+                  jnp.array([1.0, 0.0, 0.0], t.dtype),
+                  jnp.array([0.0, 1.0, 0.0], t.dtype))
+    b1 = jnp.cross(t, a)
+    b1 = b1 / jnp.maximum(jnp.linalg.norm(b1), 1e-9)
+    b2 = jnp.cross(t, b1)
+    return jnp.stack([b1, b2], -1)
+
+
+def polish_pose_sampson(R, t, p1, p2, w, thresh, iters: int = 8,
+                        damping: float = 1e-4):
+    """Gauss-Newton refinement of (R, t) on the 5-dof essential manifold
+    minimizing robust Sampson error — the accuracy stage the linear
+    8-point solve cannot provide (it minimizes ALGEBRAIC error, which at
+    small baselines is noise-dominated: measured 3.5 deg rotation /
+    50+ deg translation-direction error on sub-0.3 px correspondences
+    before this polish). The reference's cv::findEssentialMat runs an
+    equivalent internal refinement (Nister 5-pt + LM); this is the
+    TPU-shaped version: fixed iteration count, jacfwd Jacobians, one
+    batched 5x5 solve per step — vmappable across frame pairs.
+
+    p1, p2: (N, 2) normalized coords; w: (N,) weights (inlier mask);
+    thresh: Sampson gate (normalized^2) for the Huber width.
+    """
+    from aria_slam_tpu.core import lie
+    from aria_slam_tpu.ops.linalg import cholesky_solve
+
+    huber_delta = jnp.sqrt(thresh)
+
+    def signed_residuals(R_, t_):
+        E = lie.skew(t_) @ R_
+        x1 = _homog(p1)
+        x2 = _homog(p2)
+        Ex1 = x1 @ E.T
+        Etx2 = x2 @ E
+        num = jnp.sum(x2 * Ex1, -1)
+        den = (Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2
+               + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2)
+        return num / jnp.sqrt(jnp.maximum(den, 1e-12))
+
+    def step(_, carry):
+        R_, t_ = carry
+        B = _tangent_basis(t_)
+
+        def res(delta):
+            phi, psi = delta[:3], delta[3:]
+            Rn = R_ @ lie.so3_exp(phi)
+            tn = lie.so3_exp(B @ psi) @ t_
+            return signed_residuals(Rn, tn)
+
+        zero = jnp.zeros(5, p1.dtype)
+        r = res(zero)
+        J = jax.jacfwd(res)(zero)                       # (N, 5)
+        # Huber: w_i = min(1, delta/|r|) on top of the inlier mask
+        wr = w * jnp.minimum(1.0, huber_delta / jnp.maximum(jnp.abs(r), 1e-12))
+        Jw = J * wr[:, None]
+        H = Jw.T @ J + damping * jnp.eye(5, dtype=p1.dtype)
+        g = Jw.T @ r
+        delta = -cholesky_solve(H, g)
+        Rn = R_ @ lie.so3_exp(delta[:3])
+        tn = lie.so3_exp(B @ delta[3:]) @ t_
+        tn = tn / jnp.maximum(jnp.linalg.norm(tn), 1e-9)
+        # reject a diverged step (keeps the loop fixed-shape)
+        c_old = jnp.sum(wr * r * r)
+        r_new = signed_residuals(Rn, tn)
+        w_new = w * jnp.minimum(1.0, huber_delta /
+                                jnp.maximum(jnp.abs(r_new), 1e-12))
+        c_new = jnp.sum(w_new * r_new * r_new)
+        ok = c_new <= c_old
+        return (jnp.where(ok, Rn, R_), jnp.where(ok, tn, t_))
+
+    return jax.lax.fori_loop(0, iters, step, (R, t))
+
+
 def estimate_relative_pose(
     xy1: jnp.ndarray,
     xy2: jnp.ndarray,
@@ -204,11 +282,59 @@ def estimate_relative_pose(
         inlier_mask = jnp.where(better, inl_ref, inlier_mask)
 
     R, t, front = recover_pose(E_best, p1, p2, inlier_mask.astype(p1.dtype))
+
+    if cfg.h_fallback:
+        # dominant-plane rescue: when a homography explains (nearly) the
+        # whole consensus, the E above is degenerate — its translation
+        # direction is arbitrary and the informative off-plane points
+        # were voted out. Re-derive the motion from the planar structure
+        # itself (see ops/homography.py; the reference has no guard for
+        # this), then let the Sampson polish below refine it against the
+        # refreshed consensus (incl. the re-admitted off-plane points).
+        from aria_slam_tpu.ops import homography as homog
+
+        Hm, h_mask, s_h = homog.estimate_homography(
+            p1, p2, valid, jax.random.fold_in(key, 77),
+            cfg.h_hypotheses, thresh_sq)
+        R_h, t_h, strength = homog.best_h_motion(
+            Hm, R, p1, p2, h_mask.astype(p1.dtype))
+        s_e = jnp.sum(inlier_mask.astype(jnp.int32))
+        use_h = ((s_h.astype(jnp.float32)
+                  >= cfg.h_support_ratio * s_e.astype(jnp.float32))
+                 & (strength > 3e-3))
+        R = jnp.where(use_h, R_h, R)
+        t = jnp.where(use_h, t_h, t)
+        errs_fin = sampson_error(lax_skew_E(R, t), p1, p2)
+        mask_fin = (errs_fin < thresh_sq) & valid
+        inlier_mask = jnp.where(use_h, mask_fin, inlier_mask)
+
+    if cfg.polish_iters > 0:
+        # iterative Sampson GN on the essential manifold: the linear
+        # 8-point minimizes algebraic error only — see polish_pose_sampson
+        R, t = polish_pose_sampson(
+            R, t, p1, p2, inlier_mask.astype(p1.dtype), thresh_sq,
+            iters=cfg.polish_iters)
+        E_pol = lax_skew_E(R, t)
+        errs_pol = sampson_error(E_pol, p1, p2)
+        inlier_mask = (errs_pol < thresh_sq) & valid
+
     num_inliers = jnp.sum(inlier_mask.astype(jnp.int32))
-    success = (num_inliers > cfg.min_inliers) & (front > 0.5 * num_inliers)
+    z1f, z2f = triangulate_depths(R, t, p1, p2)
+    front = jnp.sum(((z1f > 0) & (z2f > 0) & inlier_mask).astype(jnp.float32))
+    # 0.35, not 0.5: at near-zero parallax the triangulated depth SIGN
+    # is noise for many points, so a correct pose can sit near 50%
+    # front; a wrong-sign translation puts nearly everything behind
+    success = (num_inliers > cfg.min_inliers) & (front > 0.35 * num_inliers)
     return PoseDelta(
         R=R, t=t, num_inliers=num_inliers, inlier_mask=inlier_mask, success=success
     )
+
+
+def lax_skew_E(R, t):
+    """E = [t]x R."""
+    from aria_slam_tpu.core import lie
+
+    return lie.skew(t) @ R
 
 
 def scale_translation(delta: PoseDelta, xy1, xy2, valid, K,
@@ -269,6 +395,35 @@ def pin_scale(z, mask, scene_depth: float, min_count: int = 20):
     ok = cnt >= min_count
     scale = jnp.where(ok, scene_depth / jnp.maximum(geo, 1e-3), 1.0)
     return jnp.clip(scale, 0.01, 100.0), ok
+
+
+def mean_parallax_deg(delta: PoseDelta, xy1, xy2, valid, K):
+    """Rotation-compensated mean ray parallax (degrees) over inliers ->
+    (parallax_deg, count). Parallax ~ baseline/depth: below ~0.5 deg the
+    essential-matrix translation (direction AND any derived scale) is
+    noise — a zero-baseline revisit verifies with a perfect rotation but
+    a meaningless unit t. This is the per-edge translation-confidence
+    signal for the pose graph (PoseGraph.edge_twt)."""
+    p1 = normalize_points(xy1, K)
+    p2 = normalize_points(xy2, K)
+    f1 = _homog(p1)
+    f2 = _homog(p2)
+    rf = f1 @ delta.R.T  # frame-1 rays expressed in frame 2
+    cos = jnp.sum(rf * f2, -1) / jnp.maximum(
+        jnp.linalg.norm(rf, axis=-1) * jnp.linalg.norm(f2, axis=-1), 1e-9)
+    ang = jnp.degrees(jnp.arccos(jnp.clip(cos, -1.0, 1.0)))
+    good = delta.inlier_mask & valid
+    cnt = jnp.sum(good.astype(jnp.float32))
+    mean = jnp.sum(jnp.where(good, ang, 0.0)) / jnp.maximum(cnt, 1.0)
+    return mean, cnt
+
+
+def parallax_t_weight(parallax_deg, full_at_deg: float = 1.0):
+    """Translation confidence in [0, 1]: 0 below 0.2 deg mean parallax,
+    ramping to 1 at `full_at_deg`."""
+    lo = 0.2
+    return jnp.clip((parallax_deg - lo) / jnp.maximum(full_at_deg - lo, 1e-6),
+                    0.0, 1.0)
 
 
 def gather_correspondences(f1_xy, f2_xy, matches: Matches):

@@ -243,6 +243,7 @@ def make_frame_step(
                 score=jnp.asarray(0.0, jnp.float32),
                 num_inliers=jnp.asarray(0, jnp.int32),
                 T_rel=jnp.eye(4, dtype=jnp.float32),
+                t_weight=jnp.asarray(0.0, jnp.float32),
             )
             db_new = state.db
 
@@ -371,7 +372,8 @@ class SlamPipeline:
         # cam_matched-from-world @ world-from-cam_current =
         # T_{matched<-current} — exactly T_rel, NOT its inverse.
         g = pose_graph.add_loop_edge(
-            self.state.graph, matched_node, cur, T_rel, cfgpg
+            self.state.graph, matched_node, cur, T_rel, cfgpg,
+            t_weight=jnp.asarray(out.loop.t_weight),
         )
         g = self._optimize(g)
         new_pose = pose_graph.get_pose(g, cur)

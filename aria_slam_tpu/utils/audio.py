@@ -104,6 +104,88 @@ class MockAudioFeedback:
         self.alerts.append(message)
 
 
+class EspeakAudioFeedback:
+    """Real TTS + beep sink (parity: H16's espeak-ng + PulseAudio design,
+    docs/milestones/H16_AUDIO_FEEDBACK.md): speech via espeak-ng/espeak,
+    spatial beeps as generated stereo WAVs through paplay/aplay. All
+    subprocess launches are fire-and-forget so audio never blocks the
+    SLAM loop. Construct via create_audio_feedback(), which probes the
+    host for the binaries and degrades to the console sink."""
+
+    # critical alerts preempt queued speech; normal speech is serialized
+    def __init__(self, tts_bin: str, play_bin: Optional[str] = None,
+                 runner=None, language: str = "en"):
+        import subprocess
+
+        self._tts = tts_bin
+        self._play = play_bin
+        self._lang = "en" if language == "en" else "es"
+        self._run = runner or (
+            lambda cmd: subprocess.Popen(
+                cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL
+            )
+        )
+        self._beep_cache: Dict[int, str] = {}
+
+    def speak(self, message, priority=Priority.MEDIUM):
+        speed = "175" if priority < Priority.HIGH else "210"
+        self._run([self._tts, "-v", self._lang, "-s", speed, message])
+
+    def play_critical_alert(self, message):
+        self.speak(message, Priority.CRITICAL)
+
+    def _beep_wav(self, pan: float, freq: int) -> str:
+        """Write (and cache) a 120 ms stereo sine beep panned by `pan`."""
+        import os
+        import struct
+        import tempfile
+        import wave
+
+        key = (round(pan, 1), freq)
+        cached = self._beep_cache.get(key)
+        if cached and os.path.exists(cached):
+            return cached
+        sr = 22050
+        t = np.arange(int(0.12 * sr)) / sr
+        tone = np.sin(2 * np.pi * freq * t) * np.hanning(len(t))
+        left = tone * (0.5 * (1.0 - pan))
+        right = tone * (0.5 * (1.0 + pan))
+        pcm = np.stack([left, right], -1)
+        pcm16 = (np.clip(pcm, -1, 1) * 32767).astype(np.int16)
+        fd, path = tempfile.mkstemp(suffix=".wav", prefix="aria_beep_")
+        os.close(fd)
+        with wave.open(path, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(struct.pack(f"<{pcm16.size}h", *pcm16.reshape(-1)))
+        self._beep_cache[key] = path
+        return path
+
+    def play_beep(self, pan, priority=Priority.MEDIUM):
+        if self._play is None:
+            return  # TTS-only host
+        freq = {Priority.CRITICAL: 1400, Priority.HIGH: 1000,
+                Priority.MEDIUM: 700, Priority.LOW: 500}[priority]
+        self._run([self._play, self._beep_wav(float(pan), freq)])
+
+
+def create_audio_feedback(language: str = "en",
+                          prefer_real: bool = True) -> AudioFeedback:
+    """Probe the host for espeak-ng/espeak + paplay/aplay and return the
+    best available sink (real TTS if present, console otherwise). The
+    degrade-gracefully default mirrors the reference's engine-load
+    fallback style (src/main.cpp:93-98)."""
+    import shutil
+
+    if prefer_real:
+        tts = shutil.which("espeak-ng") or shutil.which("espeak")
+        if tts:
+            play = shutil.which("paplay") or shutil.which("aplay")
+            return EspeakAudioFeedback(tts, play, language=language)
+    return ConsoleAudioFeedback()
+
+
 class NavigationAudioEngine:
     """Maps detections to spatialized audio guidance with cooldowns."""
 

@@ -1,0 +1,98 @@
+"""Long-trajectory accuracy regression with teeth (VERDICT r1 #5).
+
+A 140-frame rotation-heavy rotloop trajectory with a genuine revisit
+(12 s period at 10 fps -> the last ~20 frames re-see the start) run
+through the chunked evaluator. Gates are measured values + margin, so a
+regression in RANSAC, scale normalization, the backbone, loop-closure
+conventions, or the pose graph fails loudly — unlike the r1-era
+0.5 m/2 m gate that would have passed a broken VO. The full-size twin
+of this scene (240 frames, full EuRoC resolution) is
+eval/accuracy_benchmark.py, with numbers recorded in BASELINE.md.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import tests.test_pipeline as tp
+from aria_slam_tpu.config import (
+    LoopClosureConfig, MapperConfig, OrbConfig, PipelineConfig,
+    PoseGraphConfig, RansacConfig,
+)
+
+CFG = PipelineConfig(
+    camera=tp.SMALL_CAM,
+    orb=OrbConfig(num_features=384, num_levels=3),
+    ransac=RansacConfig(num_hypotheses=128),
+    loop=LoopClosureConfig(max_keyframes=192, min_frames_between=90,
+                           min_score=0.3, min_matches=40),
+    mapper=MapperConfig(max_points=60000, pair_lag=4),
+    pose_graph=PoseGraphConfig(max_nodes=192, max_edges=512,
+                               lm_iterations=5, cg_iterations=32),
+    vo_scale_mode="median_depth",
+)
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    from aria_slam_tpu.io import synthetic_scene
+
+    out = tmp_path_factory.mktemp("scene_rotloop")
+    synthetic_scene.generate(str(out), num_frames=140, fps=10.0,
+                             cam=tp.SMALL_CAM, depth=4.0, traj="rotloop",
+                             period=12.0)
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def results(scene_dir):
+    from aria_slam_tpu.eval import euroc_eval
+
+    out = {}
+    out["lc"] = euroc_eval.run(scene_dir, out_dir="/tmp/acc_reg_lc",
+                               config=CFG, verbose=False, chunk=16)
+    out["nolc"] = euroc_eval.run(
+        scene_dir, out_dir="/tmp/acc_reg_nolc",
+        config=dataclasses.replace(CFG, enable_loop_closure=False),
+        verbose=False, chunk=16)
+    return out
+
+
+def test_ate_below_committed_threshold(results):
+    """Measured 0.63 m on this scene (2026-08: Sampson-polished RANSAC,
+    homography degeneracy rescue, backbone + t-weighted loop edges,
+    chunk BA); gate = measured + ~25% margin. Path spans ~4.8 m, so the
+    gate sits at ~16% of span — below the 25%-of-path r1 gate. The
+    320x240/384-feature regime is match-starved (~110 matches/pair,
+    ~60 deg two-view direction noise at 2% baseline/depth is
+    information-theoretic, not a bug — see ops/epipolar.py polish
+    notes); the full-res benchmark in eval/accuracy_benchmark.py is the
+    representative number."""
+    ate = results["lc"]["ate_rmse_m"]
+    assert np.isfinite(ate)
+    assert ate < 0.80, f"ATE {ate:.3f} m"
+
+
+def test_loop_closure_found_and_not_harmful(results):
+    """The revisit must be detected, and the t-weighted loop edges must
+    not degrade ATE (r1: zero-baseline loop translations at 10x weight
+    made LC strictly harmful)."""
+    assert results["lc"]["loops"] >= 1
+    assert results["lc"]["ate_rmse_m"] <= results["nolc"]["ate_rmse_m"] * 1.15 + 0.02, (
+        f"LC {results['lc']['ate_rmse_m']:.3f} vs "
+        f"no-LC {results['nolc']['ate_rmse_m']:.3f}")
+
+
+def test_vio_not_worse_than_vo(results):
+    """The EKF-fused track must not degrade the VO it consumes."""
+    r = results["lc"]
+    assert "ate_fused_rmse_m" in r
+    assert r["ate_fused_rmse_m"] <= r["ate_rmse_m"] * 1.10 + 0.02, (
+        f"fused {r['ate_fused_rmse_m']:.3f} vs VO {r['ate_rmse_m']:.3f}")
+
+
+def test_rotation_rpe_bounded(results):
+    """Rotation drift gate: measured ~4.5 deg RPE@10 on this scene."""
+    assert results["lc"]["rpe_rot_deg"] < 8.0, (
+        f"rot RPE {results['lc']['rpe_rot_deg']:.2f} deg")

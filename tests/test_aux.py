@@ -60,6 +60,42 @@ def test_audio_non_dynamic_class_ignored():
     assert events == []
 
 
+def test_espeak_sink_commands_and_beep_wav():
+    """Real-TTS sink: verify command construction and the generated
+    stereo beep WAV through an injected runner (no espeak needed)."""
+    calls = []
+    sink = audio.EspeakAudioFeedback("espeak-ng", "paplay",
+                                     runner=calls.append)
+    sink.speak("person left", audio.Priority.MEDIUM)
+    assert calls[-1][0] == "espeak-ng" and calls[-1][-1] == "person left"
+    sink.play_critical_alert("stop")
+    assert calls[-1][-1] == "stop" and "210" in calls[-1]  # faster speech
+
+    sink.play_beep(-1.0, audio.Priority.HIGH)
+    cmd = calls[-1]
+    assert cmd[0] == "paplay"
+    import wave
+
+    with wave.open(cmd[1], "rb") as w:
+        assert w.getnchannels() == 2
+        frames = np.frombuffer(w.readframes(w.getnframes()),
+                               np.int16).reshape(-1, 2)
+    # hard-left pan: right channel silent
+    assert np.abs(frames[:, 1]).max() == 0
+    assert np.abs(frames[:, 0]).max() > 1000
+    # cached on second call
+    sink.play_beep(-1.0, audio.Priority.HIGH)
+    assert calls[-1][1] == cmd[1]
+
+
+def test_create_audio_feedback_probes_host():
+    sink = audio.create_audio_feedback()
+    assert isinstance(sink, (audio.EspeakAudioFeedback,
+                             audio.ConsoleAudioFeedback))
+    assert isinstance(audio.create_audio_feedback(prefer_real=False),
+                      audio.ConsoleAudioFeedback)
+
+
 # --------------------------------------------------------------------- vlm
 def test_vlm_async_worker_drop_oldest():
     class Slow:

@@ -130,11 +130,13 @@ def test_loop_edge_convention_large_rotation():
     db = keyframe_db.add_keyframe(db, feats(uv_m, desc), 0, jnp.asarray(T_m))
 
     scene_depth = float(np.exp(np.mean(np.log(z_c))))  # geomean depth, cur cam
-    passed, ninl, T_rel = loop_closure.verify_candidate(
+    passed, ninl, T_rel, twt = loop_closure.verify_candidate(
         db, feats(uv_c, desc), 0, K, LC, RS, jax.random.key(3),
         scale_mode="median_depth", scene_depth=scene_depth,
     )
     assert bool(passed) and int(ninl) > 100
+    # wide baseline (|t| ~ 1.1 m at ~7 m depth): translation trusted
+    assert float(twt) > 0.9, f"t_weight {float(twt):.2f}"
     T_rel = np.asarray(T_rel)
     # verify_candidate estimates X_matched = R X_current + t (current-cam
     # coords into matched-cam coords). With world-from-camera poses:
@@ -150,6 +152,57 @@ def test_loop_edge_convention_large_rotation():
     assert cos > 0.98, f"translation direction cos {cos:.3f}"
     ratio = np.linalg.norm(t_est) / np.linalg.norm(t_gt)
     assert 0.8 < ratio < 1.25, f"translation scale ratio {ratio:.3f}"
+
+
+def test_zero_baseline_loop_is_rotation_only():
+    """A revisit at (almost) the same position — the common case on an
+    exactly-retraced path — gives the essential matrix no baseline: the
+    verified rotation is excellent but the unit translation is noise.
+    The edge must come back with t_weight ~ 0 so the pose graph uses it
+    rotation-only (at 10x weight a 1 m phantom translation otherwise
+    CORRUPTS the trajectory — measured on the rotloop benchmark)."""
+    from aria_slam_tpu.core import lie
+
+    rng = np.random.default_rng(9)
+    n = 256
+    scene_w = rng.uniform([-4, -3, 4], [4, 3, 12], size=(n, 3)).astype(np.float64)
+    desc = rng.integers(0, 2, size=(n, 256)).astype(np.int8)
+
+    T_m = np.eye(4, dtype=np.float32)
+    T_c = np.eye(4, dtype=np.float32)  # pure 10-deg yaw, ~zero baseline
+    T_c[:3, :3] = np.asarray(
+        lie.so3_exp(jnp.asarray([0.0, np.deg2rad(10.0), 0.0], jnp.float32)))
+    T_c[:3, 3] = [0.002, -0.001, 0.001]
+
+    def project(T_wc):
+        Tinv = np.linalg.inv(T_wc)
+        Xc = scene_w @ Tinv[:3, :3].T + Tinv[:3, 3]
+        uv = Xc[:, :2] / Xc[:, 2:3]
+        return (uv * [458.0, 457.0] + [376.0, 240.0]).astype(np.float32)
+
+    def feats(uv, d):
+        return Features(
+            xy=jnp.asarray(uv), response=jnp.ones((n,), jnp.float32),
+            angle=jnp.zeros((n,), jnp.float32),
+            octave=jnp.zeros((n,), jnp.int32),
+            size=jnp.full((n,), 31.0, jnp.float32),
+            desc=jnp.asarray(d), valid=jnp.ones((n,), bool),
+        )
+
+    db = keyframe_db.init_db(LC, ORB)
+    db = keyframe_db.add_keyframe(db, feats(project(T_m), desc), 0,
+                                  jnp.asarray(T_m))
+    passed, ninl, T_rel, twt = loop_closure.verify_candidate(
+        db, feats(project(T_c), desc), 0, K, LC, RS, jax.random.key(4),
+        scale_mode="median_depth", scene_depth=7.0,
+    )
+    assert bool(passed) and int(ninl) > 100
+    T_rel = np.asarray(T_rel)
+    R_expected = (np.linalg.inv(T_m) @ T_c)[:3, :3]
+    dR = T_rel[:3, :3] @ R_expected.T
+    ang_err = np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+    assert ang_err < 1.0, f"rotation error {ang_err:.2f} deg"
+    assert float(twt) < 0.1, f"zero-baseline t_weight {float(twt):.2f}"
 
 
 def test_ring_buffer_eviction():

@@ -85,6 +85,46 @@ def test_loop_closure_corrects_drift():
     assert c1 < c0
 
 
+def test_rotation_only_loop_edge_ignores_translation():
+    """A loop edge with t_weight=0 must correct ROTATION drift without
+    its (garbage) translation pulling the node — the zero-baseline
+    revisit case (monocular E gives a perfect R and a meaningless unit
+    t; see LoopResult.t_weight)."""
+    gt = circle_gt(20)
+    g, _ = build_chain(gt, odo_noise=0.02, seed=6)
+    last = 19
+
+    # correct relative rotation, translation deliberately poisoned 1 m off
+    rel = np.asarray(lie.se3_inverse(gt[last]) @ gt[0])
+    rel_bad = rel.copy()
+    rel_bad[:3, 3] += np.array([1.0, 0.0, 0.0], np.float32)
+
+    def rot_err(T, Tgt):
+        dR = np.asarray(T)[:3, :3] @ np.asarray(Tgt)[:3, :3].T
+        return np.degrees(np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1)))
+
+    # full-weight poisoned edge: translation error grows
+    g_full = pg.add_loop_edge(g, last, 0, jnp.asarray(rel_bad), CFG,
+                              t_weight=1.0)
+    g_full = pg.optimize(g_full, CFG)
+    err_full = np.linalg.norm(
+        np.asarray(pg.get_pose(g_full, last))[:3, 3]
+        - np.asarray(gt[last])[:3, 3])
+
+    # rotation-only edge: rotation improves, translation unharmed
+    rot_before = rot_err(pg.get_pose(g, last), gt[last])
+    g_rot = pg.add_loop_edge(g, last, 0, jnp.asarray(rel_bad), CFG,
+                             t_weight=0.0)
+    g_rot = pg.optimize(g_rot, CFG)
+    err_rot = np.linalg.norm(
+        np.asarray(pg.get_pose(g_rot, last))[:3, 3]
+        - np.asarray(gt[last])[:3, 3])
+    rot_after = rot_err(pg.get_pose(g_rot, last), gt[last])
+
+    assert err_rot < 0.5 * err_full, f"rot-only {err_rot:.3f} vs full {err_full:.3f}"
+    assert rot_after <= rot_before + 0.05, f"{rot_before:.3f} -> {rot_after:.3f}"
+
+
 def test_first_node_stays_fixed():
     gt = circle_gt(10)
     g, _ = build_chain(gt, odo_noise=0.05, seed=4)
