@@ -63,6 +63,10 @@ class MatcherConfig:
     ratio: float = 0.75  # Lowe ratio for tracking
     cross_check: bool = False
     max_distance: int = 256  # no gate by default
+    # loose tier for feature tracks (chunk BA): ratio relaxed, precision
+    # restored by a per-pair epipolar gate once the pose is estimated
+    track_ratio: float = 0.92
+    track_epipolar_px: float = 2.0
 
 
 @dataclasses.dataclass(frozen=True)

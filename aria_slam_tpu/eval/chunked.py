@@ -63,7 +63,19 @@ class ChunkedSlam:
             feats = feats.replace(xy=undistort_points(feats.xy, cfg.camera))
             prev = jax.tree_util.tree_map(lambda x: x[:-1], feats)
             cur = jax.tree_util.tree_map(lambda x: x[1:], feats)
-            m = match_ops.match_batched(cur, prev, cfg.matcher.ratio)
+            # one Hamming pass, two gates: strict Lowe ratio for RANSAC,
+            # loose + epipolar-gated tier for feature tracks (below)
+            best2, second2, bidx2 = match_ops.match_batched_raw(cur, prev)
+            strict = match_ops.ratio_gate(cur.valid, best2, second2,
+                                          cfg.matcher.ratio)
+            from aria_slam_tpu.core.types import Matches
+
+            kq = strict.shape[1]
+            m = Matches(
+                query_idx=jnp.broadcast_to(
+                    jnp.arange(kq, dtype=jnp.int32)[None], strict.shape),
+                train_idx=bidx2.astype(jnp.int32),
+                distance=best2.astype(jnp.float32), valid=strict)
             keys = jax.random.split(key, frames.shape[0] - 1)
 
             # object detection ∥ ORB: an independent subgraph inside the
@@ -139,11 +151,31 @@ class ChunkedSlam:
 
             if cfg.chunk_ba.enabled:
                 # chunk BA inputs: full undistorted keypoints + the
-                # consecutive-pair match links (backend/chunk_ba.py)
+                # consecutive-pair track links. Tracks use the LOOSE
+                # ratio tier gated by each pair's estimated epipolar
+                # geometry — recall drives track length, and track
+                # length is what gives BA leverage (the strict tier's
+                # ~2.8-frame mean tracks barely beat pairwise info).
+                loose = (match_ops.ratio_gate(
+                    cur.valid, best2, second2, cfg.matcher.track_ratio)
+                    & jnp.take_along_axis(prev.valid, bidx2, 1))
+                xyp = jnp.take_along_axis(prev.xy, bidx2[..., None], 1)
+                focal = 0.5 * (K[0, 0] + K[1, 1])
+                egate = (cfg.matcher.track_epipolar_px / focal) ** 2
+
+                def pair_track_mask(Ri, ti, xy1, xy2, lo):
+                    E = epipolar.lax_skew_E(Ri, ti)
+                    s = epipolar.sampson_error(
+                        E, epipolar.normalize_points(xy1, K),
+                        epipolar.normalize_points(xy2, K))
+                    return lo & (s < egate)
+
+                track_ok = jax.vmap(pair_track_mask)(
+                    R, t, xyp, cur.xy, loose)
                 out["fxy"] = feats.xy          # (C+1, N, 2)
                 out["fvalid"] = feats.valid    # (C+1, N)
                 out["midx"] = m.train_idx      # (C, N)
-                out["cinl"] = CINL             # (C, N)
+                out["cinl"] = jnp.where(ok[:, None], track_ok | CINL, CINL)
 
             # wide-baseline backbone: RANSAC the lag pairs too. At lag L
             # the baseline/depth ratio grows ~L-fold past the noise floor

@@ -124,6 +124,37 @@ def match(
     )
 
 
+def match_batched_raw(query: Features, train: Features):
+    """Batched kNN(k=2) WITHOUT the ratio gate: (best, second, best_idx)
+    each (C, Kq). One Hamming pass can then serve several consumers with
+    different gates — e.g. a strict Lowe 0.75 tier for RANSAC and a
+    loose epipolar-gated tier for feature tracks (chunk BA), where
+    recall matters more than per-match precision (measured: ratio 0.75
+    keeps ~110/384 links per pair at 97% precision, 0.92 + a 2 px
+    epipolar gate keeps ~190 at comparable precision once the pair's
+    geometry is known)."""
+    from aria_slam_tpu.ops.fast import use_pallas
+
+    if use_pallas():
+        from aria_slam_tpu.ops.pallas.match_kernel import match_top2_batched
+
+        return match_top2_batched(query.desc, train.desc, train.valid)
+
+    def one(q, t):
+        dist = hamming_matrix(q.desc, t.desc, t.valid)
+        return top2_min(dist)
+
+    return jax.vmap(one)(query, train)
+
+
+def ratio_gate(query_valid, best, second, ratio: float):
+    """The Lowe ratio test as a standalone gate over match_batched_raw
+    outputs."""
+    return (query_valid
+            & (best.astype(jnp.float32) < ratio * second.astype(jnp.float32))
+            & (best < _BIG))
+
+
 def match_batched(query: Features, train: Features, ratio: float = 0.75) -> Matches:
     """kNN(k=2) + ratio test over Features with a leading batch axis
     (one entry per frame pair). Uses the batched fused Pallas kernel on
