@@ -1,4 +1,4 @@
-"""Chunk-local multiview bundle adjustment (alternation form).
+"""Chunk-local multiview bundle adjustment (joint Schur form).
 
 The chained two-view VO that both this framework and the reference use
 (reference: per-frame recoverPose accumulation, src/main.cpp:187-209)
@@ -10,25 +10,26 @@ rotation is good. This module is the principled fix, and a capability
 the reference does not have: refine ALL poses of a chunk against
 multi-frame feature tracks.
 
-TPU-first design — the classic sparse-Schur BA is replaced by an
-alternation that is 100% fixed-shape batched linear algebra:
+TPU-first design — the classic CPU sparse-Schur BA becomes 100%
+fixed-shape batched linear algebra:
 
   1. tracks:      one `lax.scan` over the chunk's match indices links
-                  RANSAC-inlier matches into feature tracks (landmark
+                  epipolar-gated matches into feature tracks (landmark
                   ids), no host loop, no dynamic shapes.
   2. triangulate: every landmark is solved in closed form from ALL its
                   observations (world-frame midpoint: 3x3 solve per
                   landmark, batched over ~10^5 landmarks).
-  3. pose step:   with landmarks fixed, the 6-dof Gauss-Newton updates
-                  of the C+1 poses DECOUPLE per pose — batched 6x6
-                  Cholesky solves, no global sparse system.
-  4. repeat (2)-(3): alternation converges on the strong-parallax
-                  geometry the two-view chain threw away.
+  3. joint step:  Schur-complement Gauss-Newton on all poses with the
+                  landmarks' optimal response folded in — the landmark
+                  blocks are batched closed-form 3x3 inverses and the
+                  Schur cross term is ONE matmul Z^T Z (see
+                  _joint_step); plain alternation provably stalls here.
+  4. repeat (2)-(3) with a fixed-shape backtracking line search.
 
-Steps 2-3 are pure dense batched ops (MXU/VPU friendly); the only
-scatter is the per-landmark accumulation, the only gather the landmark
-lookup — both linear in observations. Everything jits into ONE program
-per chunk with static shapes.
+All stages are dense batched ops (MXU/VPU friendly); the only scatter
+is the per-landmark accumulation, the only gather the landmark lookup —
+both linear in observations. Everything jits into ONE program per chunk
+with static shapes.
 
 Robustness: Huber weights on the pixel residual, a hard gate for gross
 outliers, positive-depth masking, LM-style diagonal damping, and a weak
@@ -129,7 +130,7 @@ def _project(poses, X, K):
 
 
 def _joint_step(poses, poses_init, ids, fxy, w_obs, K, num_l,
-                cfg: ChunkBaConfig):
+                cfg: ChunkBaConfig, rot_scale=1.0):
     """One joint Gauss-Newton step on poses AND landmarks via the Schur
     complement — the reason this module works where plain alternation
     stalls: with landmarks triangulated FROM the current (wrong) poses,
@@ -166,6 +167,12 @@ def _joint_step(poses, poses_init, ids, fxy, w_obs, K, num_l,
     eye3 = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), sk.shape)
     JX = jnp.concatenate([-eye3, sk], -1)                        # (F, N, 3, 6)
     B = jnp.einsum("fnab,fnbc->fnac", P, JX)                     # pose (2, 6)
+    # rot_scale=0 freezes rotations (gyro-backed chains: orientation is
+    # ~30x better than vision can make it — let BA solve translations
+    # and landmarks only, which also conditions the system better)
+    rmask = jnp.concatenate([jnp.ones(3), rot_scale * jnp.ones(3)]).astype(
+        jnp.float32)
+    B = B * rmask[None, None, None, :]
     A = jnp.einsum("fnab,fcb->fnac", P, poses[:, :3, :3])        # lmk (2, 3)
     # (dXc/dX = R^T: A = P @ R^T)
 
@@ -287,7 +294,7 @@ def _pose_step(poses, poses_init, X_obs, fxy, w_obs, K, cfg: ChunkBaConfig):
 
 
 def refine(poses_init, fxy, fvalid, midx, cinl, K,
-           cfg: ChunkBaConfig):
+           cfg: ChunkBaConfig, rot_scale=1.0):
     """Refine the chunk's poses against multiview feature tracks.
 
     poses_init: (F, 4, 4) world-from-camera from the scaled VO chain
@@ -321,7 +328,7 @@ def refine(poses_init, fxy, fvalid, midx, cinl, K,
         # joint Schur step (triangulation happens inside, against the
         # current poses); see _joint_step for why alternation is not used
         return _joint_step(poses, poses_init, ids, fxy, w_obs, K, num_l,
-                           cfg)
+                           cfg, rot_scale)
 
     poses = jax.lax.fori_loop(0, cfg.outer_iters, outer, poses_init)
 

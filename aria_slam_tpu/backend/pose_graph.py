@@ -37,6 +37,7 @@ def init_graph(cfg: PoseGraphConfig) -> PoseGraph:
         edge_rel=eye_e,
         edge_weight=jnp.zeros((e,), jnp.float32),
         edge_twt=jnp.ones((e,), jnp.float32),
+        edge_rwt=jnp.ones((e,), jnp.float32),
         edge_valid=jnp.zeros((e,), bool),
         num_nodes=jnp.asarray(0, jnp.int32),
         num_edges=jnp.asarray(0, jnp.int32),
@@ -53,25 +54,28 @@ def set_node(g: PoseGraph, idx, pose) -> PoseGraph:
     )
 
 
-def _add_edge(g: PoseGraph, i, j, rel, weight, t_weight=1.0) -> PoseGraph:
+def _add_edge(g: PoseGraph, i, j, rel, weight, t_weight=1.0,
+              r_weight=1.0) -> PoseGraph:
     slot = g.num_edges
     cap = g.edge_i.shape[0]
     ok = slot < cap
     safe = jnp.where(ok, slot, cap - 1)
     t_weight = jnp.asarray(t_weight, jnp.float32)
+    r_weight = jnp.asarray(r_weight, jnp.float32)
     return g.replace(
         edge_i=g.edge_i.at[safe].set(jnp.where(ok, jnp.asarray(i, jnp.int32), g.edge_i[safe])),
         edge_j=g.edge_j.at[safe].set(jnp.where(ok, jnp.asarray(j, jnp.int32), g.edge_j[safe])),
         edge_rel=g.edge_rel.at[safe].set(jnp.where(ok, rel, g.edge_rel[safe])),
         edge_weight=g.edge_weight.at[safe].set(jnp.where(ok, weight, g.edge_weight[safe])),
         edge_twt=g.edge_twt.at[safe].set(jnp.where(ok, t_weight, g.edge_twt[safe])),
+        edge_rwt=g.edge_rwt.at[safe].set(jnp.where(ok, r_weight, g.edge_rwt[safe])),
         edge_valid=g.edge_valid.at[safe].set(jnp.where(ok, True, g.edge_valid[safe])),
         num_edges=jnp.where(ok, slot + 1, slot),
     )
 
 
 def extend_chain(g: PoseGraph, poses, rels, first_node,
-                 t_weight=1.0) -> PoseGraph:
+                 t_weight=1.0, r_weight=1.0) -> PoseGraph:
     """Append C chain nodes + odometry edges in one call (offline
     chunked evaluation): node ids first_node..first_node+C-1 with world
     poses `poses` (C, 4, 4) and edges (i-1 -> i) measuring `rels`
@@ -95,6 +99,9 @@ def extend_chain(g: PoseGraph, poses, rels, first_node,
         edge_weight=g.edge_weight.at[edge_slots].set(1.0, mode="drop"),
         edge_twt=g.edge_twt.at[edge_slots].set(
             jnp.asarray(t_weight, jnp.float32), mode="drop"),
+        edge_rwt=g.edge_rwt.at[edge_slots].set(
+            jnp.broadcast_to(jnp.asarray(r_weight, jnp.float32), (c,)),
+            mode="drop"),
         edge_valid=g.edge_valid.at[edge_slots].set(True, mode="drop"),
         num_nodes=jnp.minimum(jnp.maximum(g.num_nodes, first_node + c),
                               g.node_pose.shape[0]),
@@ -121,6 +128,8 @@ def add_edges_batch(g: PoseGraph, i_idx, j_idx, rels, weight,
         edge_weight=g.edge_weight.at[slots].set(
             jnp.where(valid, w, 0.0), mode="drop"),
         edge_twt=g.edge_twt.at[slots].set(twt, mode="drop"),
+        edge_rwt=g.edge_rwt.at[slots].set(jnp.ones((e,), jnp.float32),
+                                          mode="drop"),
         edge_valid=g.edge_valid.at[slots].set(valid, mode="drop"),
         num_edges=jnp.minimum(g.num_edges + e, ecap),
     )
@@ -167,11 +176,12 @@ def _edge_residuals_and_jacobians(g: PoseGraph):
 
 def _edge_weight6(g: PoseGraph):
     """(E, 6) per-residual-component weights: scalar edge weight with
-    the translation components (twist [rho, phi]: first 3) additionally
-    scaled by the parallax-derived translation confidence edge_twt."""
+    the translation components (twist [rho, phi]: first 3) scaled by
+    the parallax-derived translation confidence edge_twt and the
+    rotation components by edge_rwt (gyro-backed chain edges pin
+    orientation, see types.PoseGraph)."""
     w = g.edge_weight * g.edge_valid.astype(jnp.float32)  # (E,)
-    ones = jnp.ones_like(g.edge_twt)
-    comp = jnp.stack([g.edge_twt] * 3 + [ones] * 3, -1)   # (E, 6)
+    comp = jnp.stack([g.edge_twt] * 3 + [g.edge_rwt] * 3, -1)  # (E, 6)
     return w[:, None] * comp
 
 

@@ -185,6 +185,11 @@ class PoseGraphConfig:
     # (0.3 -> ATE 0.677 vs 1.0 -> 0.620 on rotloop-240): even biased,
     # the dense chain constrains the local trajectory shape. Keep 1.0.
     odom_t_weight: float = 1.0
+    # rotation weight of chain edges when their rotations come from the
+    # integrated gyro (fusion/gyro_prior.py): ~30x lower rotation error
+    # than two-view VO, so these edges pin orientation against the
+    # noisier backbone/loop rotation measurements
+    gyro_rot_weight: float = 25.0
     lm_iterations: int = 10
     final_lm_iterations: int = 50
     cg_iterations: int = 64
@@ -240,6 +245,11 @@ class PipelineConfig:
     # ONE global scale instead of one per frame (better ATE/RPE/maps)
     vo_scale_mode: str = "median_depth"
     vo_scene_depth: float = 4.0
+    # chunked mode: replace per-pair VO rotations with integrated gyro
+    # rotations when IMU data is present (fusion/gyro_prior.py) — the
+    # gyro is ~10x more accurate over one frame interval and rescues
+    # pairs whose visual RANSAC failed
+    gyro_chain_rotation: bool = True
 
     @staticmethod
     def from_yaml(path: str) -> "PipelineConfig":

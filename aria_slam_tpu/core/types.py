@@ -159,6 +159,11 @@ class PoseGraph:
     # such edges contribute rotation-only (the reference feeds the raw
     # recoverPose t at full weight, LoopClosure.cpp:176-183)
     edge_twt: jnp.ndarray    # (E,) float32
+    # rotation weight (>= 0): gyro-integrated chain rotations are ~30x
+    # more accurate than two-view VO rotations, so gyro-backed odometry
+    # edges carry a high rotation weight and pin orientation against
+    # the noisier backbone/loop rotation measurements
+    edge_rwt: jnp.ndarray    # (E,) float32
     edge_valid: jnp.ndarray  # (E,) bool
     num_nodes: jnp.ndarray   # () int32
     num_edges: jnp.ndarray   # () int32

@@ -55,7 +55,7 @@ class ChunkedSlam:
                 cfg.detector, weights_path=cfg.detector_weights, use_nms=False
             )
 
-        def frontend(frames, zlast, mlast, key):
+        def frontend(frames, zlast, mlast, key, gyro_R, gyro_ok):
             from aria_slam_tpu.ops.undistort import undistort_points
 
             feats = orb.extract_batch(frames, cfg.orb)
@@ -91,11 +91,35 @@ class ChunkedSlam:
             else:
                 dyn = jnp.zeros(cur.valid.shape, bool)
 
-            def pose_one(pf, cf, mm, dyn_f, k):
+            focal = 0.5 * (K[0, 0] + K[1, 1])
+            in_thresh_sq = (cfg.ransac.inlier_threshold_px / focal) ** 2
+
+            def pose_one(pf, cf, mm, dyn_f, k, Rg, has_g):
                 xy_prev = jnp.take_along_axis(pf.xy, mm.train_idx[:, None], 0)
                 valid = mm.valid & pf.valid[mm.train_idx] & ~dyn_f
                 delta = epipolar.estimate_relative_pose(
                     xy_prev, cf.xy, valid, K, cfg.ransac, k
+                )
+                # gyro fusion: with the pair rotation known from the
+                # integrated gyro (~30x better than two-view VO), the
+                # translation is a LINEAR re-estimate under that exact
+                # rotation — keeping (R, t) self-consistent for the
+                # depth/scale/track/mapping consumers below (a gyro R
+                # glued to the VO t breaks their reprojection gates)
+                t_g, mask_g = epipolar.translation_given_rotation(
+                    Rg, epipolar.normalize_points(xy_prev, K),
+                    epipolar.normalize_points(cf.xy, K),
+                    delta.inlier_mask.astype(jnp.float32),
+                    thresh_sq=in_thresh_sq, valid=valid)
+                ninl_g = jnp.sum(mask_g.astype(jnp.int32))
+                delta = delta.replace(
+                    R=jnp.where(has_g, Rg, delta.R),
+                    t=jnp.where(has_g, t_g, delta.t),
+                    inlier_mask=jnp.where(has_g, mask_g, delta.inlier_mask),
+                    num_inliers=jnp.where(has_g, ninl_g, delta.num_inliers),
+                    success=jnp.where(
+                        has_g, ninl_g > cfg.ransac.min_inliers,
+                        delta.success),
                 )
                 # unit-|t| depths for the scale chain: z1 at the prev
                 # frame (correspondence slot = cur slot; scatter to prev
@@ -116,7 +140,7 @@ class ChunkedSlam:
                         delta.inlier_mask & valid)
 
             (R, t, ok, ninl, pins, pin_oks, ZP, MP, Z2, M2, CINL) = jax.vmap(
-                pose_one)(prev, cur, m, dyn, keys)
+                pose_one)(prev, cur, m, dyn, keys, gyro_R, gyro_ok)
 
             # pair-to-pair scale ratios through the shared frame:
             # prev pair's cur-frame depths vs this pair's prev-frame depths
@@ -203,9 +227,13 @@ class ChunkedSlam:
         if cfg.chunk_ba.enabled:
             from aria_slam_tpu.backend import chunk_ba
 
+            # rot_scale is a traced scalar: 1.0 normally, 0.0 when the
+            # whole chunk carries gyro rotation priors (orientation is
+            # then ~30x better than vision — BA solves translations and
+            # landmarks only). One compiled program serves both.
             self._ba = jax.jit(
-                lambda p, fxy, fv, mi, ci: chunk_ba.refine(
-                    p, fxy, fv, mi, ci, K, cfg.chunk_ba))
+                lambda p, fxy, fv, mi, ci, rs: chunk_ba.refine(
+                    p, fxy, fv, mi, ci, K, cfg.chunk_ba, rs))
         # donated carries: DB/map/graph hold large padded buffers — without
         # donation every functional update copies them
         self._map_insert = jax.jit(
@@ -218,8 +246,11 @@ class ChunkedSlam:
         backbone_on = (cfg.pose_graph.backbone_weight > 0
                        and cfg.vo_scale_mode != "unit")
         odom_twt = cfg.pose_graph.odom_t_weight if backbone_on else 1.0
+        # rwt traced: gyro-backed chunks pin chain rotations at
+        # cfg.pose_graph.gyro_rot_weight, visual chunks at 1.0
         self._extend = jax.jit(
-            lambda g, p, r, f: pose_graph.extend_chain(g, p, r, f, odom_twt),
+            lambda g, p, r, f, rwt: pose_graph.extend_chain(
+                g, p, r, f, odom_twt, rwt),
             donate_argnums=(0,))
         self._add_backbone = jax.jit(
             lambda g, i, j, r, v: pose_graph.add_edges_batch(
@@ -349,14 +380,29 @@ class ChunkedSlam:
         self._scale = float(scales[-1])
         return scales
 
-    def process_chunk(self, frames: np.ndarray, timestamps) -> None:
+    def process_chunk(self, frames: np.ndarray, timestamps,
+                      gyro_R=None, gyro_ok=None) -> None:
         """frames: (C+1, H, W) — the first frame must be the previous
         chunk's last frame (overlap of 1), except for the first call
-        where it is simply the first frame of the sequence."""
+        where it is simply the first frame of the sequence.
+
+        gyro_R/gyro_ok: optional (C, 3, 3)/(C,) per-pair rotation priors
+        from fusion.gyro_prior — when a pair's prior is valid it
+        REPLACES the two-view rotation in the chain (the gyro is ~10x
+        more accurate over one frame interval) and rescues failed pairs
+        rotation-only."""
         cfg = self.cfg
         self._key, k1, k2 = jax.random.split(self._key, 3)
         fr = jnp.asarray(frames, jnp.float32)
-        out = self._frontend(fr, self._zlast, self._mlast, k1)
+        c_pairs = frames.shape[0] - 1
+        use_gyro = (cfg.gyro_chain_rotation and gyro_R is not None
+                    and gyro_ok is not None)
+        if not use_gyro:
+            gyro_R = np.tile(np.eye(3, dtype=np.float32), (c_pairs, 1, 1))
+            gyro_ok = np.zeros((c_pairs,), bool)
+        out = self._frontend(fr, self._zlast, self._mlast, k1,
+                             jnp.asarray(gyro_R, jnp.float32),
+                             jnp.asarray(gyro_ok))
         R = np.asarray(out["R"])
         t = np.asarray(out["t"])
         ok = np.asarray(out["ok"])
@@ -382,10 +428,16 @@ class ChunkedSlam:
         T = self.T
         T_start = T.copy()  # overlap-frame pose: the chunk BA gauge
         for i in range(c):
-            if ok[i]:
+            # when the pair carried a gyro prior, R[i]/t[i] are already
+            # the fused (gyro R + linear t) estimate from the frontend;
+            # a pair that failed even then still gets the gyro rotation
+            # as a rotation-only rescue
+            has_g = use_gyro and bool(gyro_ok[i])
+            if ok[i] or has_g:
                 T_cur_prev = np.eye(4, dtype=np.float32)
-                T_cur_prev[:3, :3] = R[i]
-                T_cur_prev[:3, 3] = t[i] * scales[i]
+                T_cur_prev[:3, :3] = R[i] if ok[i] else gyro_R[i]
+                if ok[i]:
+                    T_cur_prev[:3, 3] = t[i] * scales[i]
                 rel = np.linalg.inv(T_cur_prev).astype(np.float32)
             else:
                 rel = np.eye(4, dtype=np.float32)
@@ -405,9 +457,11 @@ class ChunkedSlam:
         if cfg.chunk_ba.enabled and "fxy" in out:
             poses_all = np.concatenate(
                 [T_start[None], poses_np], 0).astype(np.float32)
+            gyro_full = (use_gyro and bool(np.all(gyro_ok)))
             refined, err_b, err_a = self._ba(
                 jnp.asarray(poses_all), out["fxy"], out["fvalid"],
-                out["midx"], out["cinl"])
+                out["midx"], out["cinl"],
+                jnp.asarray(0.0 if gyro_full else 1.0, jnp.float32))
             refined = np.asarray(refined)
             if np.all(np.isfinite(refined)):
                 poses_np = refined[1:]
@@ -419,8 +473,11 @@ class ChunkedSlam:
 
         # ---- pose graph chunk append
         first_node = self.frame_count
+        chain_rwt = (cfg.pose_graph.gyro_rot_weight
+                     if use_gyro and bool(np.all(gyro_ok)) else 1.0)
         self.graph = self._extend(self.graph, jnp.asarray(poses_np),
-                                  jnp.asarray(rels), first_node)
+                                  jnp.asarray(rels), first_node,
+                                  jnp.asarray(chain_rwt, jnp.float32))
 
         # ---- wide-baseline backbone edges (node i-lag -> node i)
         if "Rl" in out:

@@ -64,6 +64,10 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
 
         # fixed chunk size => one compile; iterate with 1-frame overlap,
         # decoding the next chunk while the device runs the current one
+        use_gyro = config.gyro_chain_rotation and len(data.imu_ts) > 0
+        if use_gyro:
+            from aria_slam_tpu.fusion import gyro_prior
+
         pool = ThreadPoolExecutor(1)
         k = 0
         fut = pool.submit(load_chunk, k)
@@ -71,8 +75,12 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
             frames, ts, hi = fut.result()
             if hi + 1 < n_frames:
                 fut = pool.submit(load_chunk, hi)
+            gR = gok = None
+            if use_gyro:
+                gR, gok = gyro_prior.pair_rotations(
+                    data.imu_ts, data.imu_gyro, ts)
             f0 = time.perf_counter()
-            pipe.process_chunk(frames, ts)
+            pipe.process_chunk(frames, ts, gR, gok)
             frame_times.append((time.perf_counter() - f0) / chunk)
             k = hi
             if verbose and (k + 1) % 96 < chunk:

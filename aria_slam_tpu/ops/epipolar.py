@@ -153,6 +153,46 @@ def recover_pose(E, p1, p2, weights):
     return cands_R[best], cands_t[best], counts[best]
 
 
+def translation_given_rotation(R, p1, p2, w, refine_rounds: int = 1,
+                               thresh_sq=None, valid=None):
+    """Unit translation direction with the rotation KNOWN (e.g. from an
+    integrated gyro): each correspondence gives the linear constraint
+    (x2 x (R x1)) . t = 0, so t is the smallest eigenvector of a 3x3
+    normal matrix — cheaper AND better-conditioned than joint (R, t)
+    estimation, and it keeps the pair's geometry self-consistent (a
+    gyro R glued to a VO t estimated under a different rotation breaks
+    downstream reprojection gates — measured on the mapper).
+
+    Returns (t_unit, inlier_mask) — the mask refreshed under [t]x R
+    when thresh_sq/valid are given (else the input weights as bool)."""
+    from aria_slam_tpu.ops.linalg import eigh3
+
+    x1 = _homog(p1)
+    x2 = _homog(p2)
+    c = jnp.cross(x2, x1 @ R.T)                     # (N, 3)
+    ww = w
+
+    t = None
+    for _ in range(max(1, refine_rounds + 1)):
+        M = (c * ww[:, None]).T @ c                 # (3, 3) PSD
+        _, vecs = eigh3(M)                          # ascending eigenvalues
+        t = vecs[:, 0]
+        if thresh_sq is not None and valid is not None:
+            errs = sampson_error(lax_skew_E(R, t), p1, p2)
+            ww = ((errs < thresh_sq) & valid).astype(p1.dtype)
+
+    # cheirality: pick the sign that puts points in front
+    def front(tt):
+        z1, z2 = triangulate_depths(R, tt, p1, p2)
+        return jnp.sum(((z1 > 0) & (z2 > 0)).astype(jnp.float32) * ww)
+
+    t = jnp.where(front(-t) > front(t), -t, t)
+    if thresh_sq is not None and valid is not None:
+        errs = sampson_error(lax_skew_E(R, t), p1, p2)
+        return t, (errs < thresh_sq) & valid
+    return t, w > 0
+
+
 def _tangent_basis(t):
     """(3, 2) orthonormal basis of the plane normal to unit t (the
     translation's 2-dof update space on the sphere)."""
