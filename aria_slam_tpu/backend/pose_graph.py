@@ -135,9 +135,12 @@ def add_edges_batch(g: PoseGraph, i_idx, j_idx, rels, weight,
     )
 
 
-def add_odometry_edge(g: PoseGraph, i, j, rel, cfg: PoseGraphConfig) -> PoseGraph:
-    """Parity: addOdometryEdge (LoopClosure.cpp:255-273), weight 1."""
-    return _add_edge(g, i, j, rel, jnp.asarray(1.0, jnp.float32))
+def add_odometry_edge(g: PoseGraph, i, j, rel, cfg: PoseGraphConfig,
+                      r_weight=1.0) -> PoseGraph:
+    """Parity: addOdometryEdge (LoopClosure.cpp:255-273), weight 1.
+    r_weight > 1 pins the rotation when it came from the gyro."""
+    return _add_edge(g, i, j, rel, jnp.asarray(1.0, jnp.float32),
+                     r_weight=r_weight)
 
 
 def add_loop_edge(g: PoseGraph, i, j, rel, cfg: PoseGraphConfig,

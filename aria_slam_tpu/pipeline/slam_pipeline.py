@@ -157,6 +157,45 @@ def make_frame_step(
         delta = epipolar.estimate_relative_pose(
             xy_prev, xy_cur, m_valid, K, cfg.ransac, k_ransac
         )
+
+        # ---- gyro rotation fusion (parity with the chunked chain,
+        # eval/chunked.py): integrate the frame's IMU window into a
+        # rotation prior (~30x better than the two-view rotation) and
+        # re-solve the translation LINEARLY under that known rotation —
+        # keeping the pair self-consistent for every consumer below
+        if cfg.gyro_chain_rotation:
+            prev_t = jnp.concatenate([state.prev_ts[None], imu_t[:-1]])
+            dts = jnp.clip(imu_t - prev_t, 0.0, 0.05)
+            phis = imu_gyr * dts[:, None] * imu_valid[:, None].astype(
+                imu_gyr.dtype)
+
+            def compose(Rc, phi):
+                return Rc @ lie.so3_exp(phi), None
+
+            dR, _ = jax.lax.scan(compose, jnp.eye(3, dtype=jnp.float32),
+                                 phis)
+            has_g = (jnp.sum(imu_valid.astype(jnp.int32)) >= 2) \
+                & state.prev_valid
+            Rg = dR.T  # VO delta convention X_cur = R X_prev + t
+            focal = 0.5 * (K[0, 0] + K[1, 1])
+            thresh_sq = (cfg.ransac.inlier_threshold_px / focal) ** 2
+            t_g, mask_g = epipolar.translation_given_rotation(
+                Rg, epipolar.normalize_points(xy_prev, K),
+                epipolar.normalize_points(xy_cur, K),
+                delta.inlier_mask.astype(jnp.float32),
+                thresh_sq=thresh_sq, valid=m_valid)
+            ninl_g = jnp.sum(mask_g.astype(jnp.int32))
+            delta = delta.replace(
+                R=jnp.where(has_g, Rg, delta.R),
+                t=jnp.where(has_g, t_g, delta.t),
+                inlier_mask=jnp.where(has_g, mask_g, delta.inlier_mask),
+                num_inliers=jnp.where(has_g, ninl_g, delta.num_inliers),
+                success=jnp.where(has_g, ninl_g > cfg.ransac.min_inliers,
+                                  delta.success),
+            )
+        else:
+            has_g = jnp.asarray(False)
+
         vo_ok = delta.success & state.prev_valid
 
         # delta: X_cur = R X_prev + t (cam_cur-from-cam_prev), |t| = 1.
@@ -209,7 +248,8 @@ def make_frame_step(
         graph = pose_graph.set_node(state.graph, node_id, pose_new)
         rel = lie.se3_inverse(state.pose) @ pose_new
         graph_with_edge = pose_graph.add_odometry_edge(
-            graph, node_id - 1, node_id, rel, cfg.pose_graph
+            graph, node_id - 1, node_id, rel, cfg.pose_graph,
+            r_weight=jnp.where(has_g, cfg.pose_graph.gyro_rot_weight, 1.0),
         )
         graph = jax.tree_util.tree_map(
             lambda a, b: jnp.where(vo_ok, a, b), graph_with_edge, graph
