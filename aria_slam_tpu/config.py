@@ -245,11 +245,16 @@ class PipelineConfig:
     # ONE global scale instead of one per frame (better ATE/RPE/maps)
     vo_scale_mode: str = "median_depth"
     vo_scene_depth: float = 4.0
-    # chunked mode: replace per-pair VO rotations with integrated gyro
-    # rotations when IMU data is present (fusion/gyro_prior.py) — the
-    # gyro is ~10x more accurate over one frame interval and rescues
-    # pairs whose visual RANSAC failed
+    # replace per-pair VO rotations with integrated gyro rotations when
+    # IMU data is present (fusion/gyro_prior.py; also fused inside the
+    # online per-frame step) — the gyro is ~30x more accurate over one
+    # frame interval and rescues pairs whose visual RANSAC failed
     gyro_chain_rotation: bool = True
+    # camera-from-imu(body) rotation (rows as tuples — hashable for the
+    # frozen config). Identity when the body frame IS the camera frame
+    # (synthetic scenes); EuRoC needs cam0's T_BS (io/euroc.py parses it)
+    imu_cam_rotation: tuple = ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0),
+                               (0.0, 0.0, 1.0))
 
     @staticmethod
     def from_yaml(path: str) -> "PipelineConfig":

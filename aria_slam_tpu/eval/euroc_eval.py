@@ -37,7 +37,9 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
 
     data = euroc.load(dataset_path)
     config = config or PipelineConfig()
-    config = dataclasses.replace(config, camera=data.camera)
+    config = dataclasses.replace(
+        config, camera=data.camera,
+        imu_cam_rotation=tuple(map(tuple, data.R_cam_imu.tolist())))
 
     n_frames = len(data.image_paths)
     if max_frames:
@@ -78,7 +80,8 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
             gR = gok = None
             if use_gyro:
                 gR, gok = gyro_prior.pair_rotations(
-                    data.imu_ts, data.imu_gyro, ts)
+                    data.imu_ts, data.imu_gyro, ts,
+                    R_cam_imu=data.R_cam_imu)
             f0 = time.perf_counter()
             pipe.process_chunk(frames, ts, gR, gok)
             frame_times.append((time.perf_counter() - f0) / chunk)

@@ -34,6 +34,11 @@ class EurocData:
     gt_pos: np.ndarray            # (G, 3)
     gt_quat: np.ndarray           # (G, 4) (w, x, y, z)
     camera: CameraConfig = field(default_factory=CameraConfig)
+    # camera-from-imu(body) rotation from cam0's T_BS (EuRoC sensor.yaml
+    # extrinsic, body==imu0 frame): R_cam_imu = R_BS[:3,:3]^T. Identity
+    # when absent (synthetic scenes: body IS the camera frame). Consumed
+    # by fusion/gyro_prior.pair_rotations.
+    R_cam_imu: np.ndarray = field(default_factory=lambda: np.eye(3))
 
 
 def _read_csv(path: str, num_cols: int | None = None) -> np.ndarray:
@@ -94,6 +99,7 @@ def load(dataset_path: str) -> EurocData:
         gt_quat = np.zeros((0, 4))
 
     camera = _load_camera(os.path.join(cam_dir, "sensor.yaml"))
+    R_cam_imu = _load_cam_extrinsic(os.path.join(cam_dir, "sensor.yaml"))
     return EurocData(
         image_ts=image_ts,
         image_paths=image_paths,
@@ -104,7 +110,27 @@ def load(dataset_path: str) -> EurocData:
         gt_pos=gt_pos,
         gt_quat=gt_quat,
         camera=camera,
+        R_cam_imu=R_cam_imu,
     )
+
+
+def _load_cam_extrinsic(sensor_yaml: str) -> np.ndarray:
+    """Camera-from-body rotation from cam0's T_BS ('sensor to body'
+    4x4 row-major, EuRoC ASL format). Body == imu0 frame, so this maps
+    integrated-gyro body rotations into the camera frame."""
+    if not os.path.exists(sensor_yaml):
+        return np.eye(3)
+    import yaml
+
+    with open(sensor_yaml) as f:
+        doc = yaml.safe_load(f)
+    try:
+        tbs = doc["T_BS"]
+        data = np.asarray(tbs["data"] if isinstance(tbs, dict) else tbs,
+                          np.float64).reshape(4, 4)
+        return data[:3, :3].T  # R_SB = cam-from-body
+    except (KeyError, TypeError, ValueError):
+        return np.eye(3)
 
 
 def _load_camera(sensor_yaml: str) -> CameraConfig:

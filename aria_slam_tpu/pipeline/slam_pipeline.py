@@ -176,6 +176,8 @@ def make_frame_step(
                                  phis)
             has_g = (jnp.sum(imu_valid.astype(jnp.int32)) >= 2) \
                 & state.prev_valid
+            R_ci = jnp.asarray(cfg.imu_cam_rotation, jnp.float32)
+            dR = R_ci @ dR @ R_ci.T  # body rates -> camera frame
             Rg = dR.T  # VO delta convention X_cur = R X_prev + t
             focal = 0.5 * (K[0, 0] + K[1, 1])
             thresh_sq = (cfg.ransac.inlier_threshold_px / focal) ** 2
