@@ -458,12 +458,38 @@ class ChunkedSlam:
             poses_all = np.concatenate(
                 [T_start[None], poses_np], 0).astype(np.float32)
             gyro_full = (use_gyro and bool(np.all(gyro_ok)))
-            refined, err_b, err_a = self._ba(
-                jnp.asarray(poses_all), out["fxy"], out["fvalid"],
-                out["midx"], out["cinl"],
-                jnp.asarray(0.0 if gyro_full else 1.0, jnp.float32))
-            refined = np.asarray(refined)
-            if np.all(np.isfinite(refined)):
+            rs = jnp.asarray(0.0 if gyro_full else 1.0, jnp.float32)
+            # the joint step's Schur scratch is O(frames^2 x features)
+            # (the per-frame landmark scatter G): fine at window 17,
+            # ~600 GB at 65 — large chunks refine in 16-frame
+            # sub-windows, each gauge-fixed at its own start pose, which
+            # is the same structure as chunk-16 BA
+            W = c if c <= 32 else 16
+            refined = poses_all.copy()
+            all_finite = True
+            for s in range(0, c, W):
+                e = min(s + W, c)
+                if e - s != W:  # ragged tail would force a recompile
+                    break
+                sl = slice(s, e + 1)
+                psl = slice(s, e)
+                end_before = refined[e].copy()
+                r_win, err_b, err_a = self._ba(
+                    jnp.asarray(refined[sl]),
+                    out["fxy"][sl], out["fvalid"][sl],
+                    out["midx"][psl], out["cinl"][psl], rs)
+                r_win = np.asarray(r_win)
+                if not np.all(np.isfinite(r_win)):
+                    all_finite = False
+                    break
+                # chain the window's end-pose correction into all later
+                # poses so the next window starts from the refined chain
+                refined[sl] = r_win
+                if e < c:
+                    refined[e + 1:] = (
+                        r_win[-1] @ np.linalg.inv(end_before)
+                    ) @ refined[e + 1:]
+            if all_finite:
                 poses_np = refined[1:]
                 rels = np.einsum(
                     "nij,njk->nik", np.linalg.inv(refined[:-1]), refined[1:]
