@@ -55,14 +55,26 @@ def build_tracks(midx, cinl, num_kp):
     cinl: (C, N) bool — match valid AND a RANSAC inlier of its pair.
     Returns ids (C+1, N) int32 landmark ids in [0, (C+1)*N): a track
     keeps the id of its first observation (frame*N + slot).
+
+    Matching is best-per-query only, so two current-frame slots can
+    point at the same prev slot; letting both inherit its landmark id
+    would put TWO observations of one landmark in the same frame
+    (biasing triangulation/BA toward the duplicate). A scatter-min per
+    pair keeps exactly one winner per prev slot (the lowest current
+    slot); losers start fresh tracks.
     """
     c, n = midx.shape
     ids0 = jnp.arange(n, dtype=jnp.int32)
+    slots = jnp.arange(n, dtype=jnp.int32)
 
     def step(prev_ids, x):
         i, mi, ok = x
-        fresh = (i + 1) * n + jnp.arange(n, dtype=jnp.int32)
-        nxt = jnp.where(ok, prev_ids[mi], fresh)
+        # one-to-one gate: winner per prev slot = min current slot
+        win = jnp.full((n,), n, jnp.int32).at[mi].min(
+            jnp.where(ok, slots, n), mode="drop")
+        keep = ok & (win[mi] == slots)
+        fresh = (i + 1) * n + slots
+        nxt = jnp.where(keep, prev_ids[mi], fresh)
         return nxt, nxt
 
     _, rest = jax.lax.scan(

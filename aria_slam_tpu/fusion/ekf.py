@@ -219,7 +219,15 @@ def run_sequence(imu_t, imu_accel, imu_gyro, vo_t, vo_R, vo_t_pos, cfg: EkfConfi
     )
     vo_slot = jnp.concatenate([jnp.full(m, -1, jnp.int32), jnp.arange(v, dtype=jnp.int32)])
 
-    order = jnp.argsort(all_t, stable=True)
+    # merge two ALREADY-SORTED streams without a general sort (argsort
+    # lowers to a full sort network on this stack — CLAUDE.md; two
+    # vectorized binary searches replace it). Equal timestamps keep
+    # IMU-before-VO, matching a stable argsort of this concat order.
+    pos_imu = jnp.arange(m) + jnp.searchsorted(vo_t, imu_t, side="left")
+    pos_vo = jnp.arange(v) + jnp.searchsorted(imu_t, vo_t, side="right")
+    dest = jnp.concatenate([pos_imu, pos_vo])          # concat idx -> merged idx
+    order = jnp.zeros(m + v, jnp.int32).at[dest].set(
+        jnp.arange(m + v, dtype=jnp.int32))            # merged idx -> concat idx
     all_t = all_t[order]
     tags = tags[order]
     payload_a = payload_a[order]

@@ -167,6 +167,21 @@ def load_image(path: str) -> np.ndarray:
     return img.astype(np.float32)
 
 
+def load_image_safe(path: str) -> Optional[np.ndarray]:
+    """Like load_image but returns None for a missing/corrupt file —
+    the degrade-don't-crash behavior of the reference reader, which
+    skips unreadable images and continues
+    (src/legacy/EuRoCReader.cpp:287-291). One bad frame must not kill a
+    whole evaluation."""
+    import cv2
+
+    try:
+        img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+    except cv2.error:
+        return None
+    return None if img is None else img.astype(np.float32)
+
+
 def imu_window(data: EurocData, t_prev: float, t_now: float) -> Tuple[np.ndarray, ...]:
     """IMU samples with t in (t_prev, t_now] (parity: getNext,
     EuRoCReader.cpp:277-309)."""

@@ -170,7 +170,16 @@ def translation_given_rotation(R, p1, p2, w, refine_rounds: int = 1,
     x1 = _homog(p1)
     x2 = _homog(p2)
     c = jnp.cross(x2, x1 @ R.T)                     # (N, 3)
-    ww = w
+    # degenerate-seed guard: when the caller's weights are (near-)empty
+    # (e.g. visual RANSAC failed and passed an all-zero inlier mask), M
+    # would be ~0 and eigh3 returns an ARBITRARY direction — which the
+    # Sampson-gate refresh below can then lock a consensus around,
+    # marking the pair successful with a meaningless translation. Seed
+    # from all valid correspondences instead (IRLS + the gate refresh
+    # still prune outliers).
+    fb = (valid.astype(p1.dtype) if valid is not None
+          else jnp.ones_like(w))
+    ww = jnp.where(jnp.sum(w) >= 3.0, w, fb)
 
     t = None
     for _ in range(max(1, refine_rounds + 1)):
