@@ -129,6 +129,16 @@ class LoopClosureConfig:
     candidate_score_floor: float = 0.1
     top_k_candidates: int = 5
     verify_threshold_px: float = 3.0  # FM_RANSAC reproj threshold
+    # pose-guided re-matching (recall lever the reference lacks — its
+    # verification re-matches only at the strict 0.7 ratio,
+    # LoopClosure.cpp:86-98): after RANSAC verifies a candidate's
+    # geometry on a reduced inlier bar (min_matches * guided_min_frac),
+    # matches at the LOOSE ratio are re-admitted when Sampson-consistent
+    # with the verified epipolar geometry, the pose is re-polished on
+    # the bigger consensus, and the full min_matches bar applies to the
+    # boosted count. guided_ratio = 0 disables.
+    guided_ratio: float = 0.9
+    guided_min_frac: float = 0.4
 
 
 @dataclasses.dataclass(frozen=True)
@@ -250,6 +260,14 @@ class PipelineConfig:
     # online per-frame step) — the gyro is ~30x more accurate over one
     # frame interval and rescues pairs whose visual RANSAC failed
     gyro_chain_rotation: bool = True
+    # accelerometer-derived METRIC scale (fusion/vi_init.py): a sliding-
+    # window VINS-style linear alignment of preintegrated IMU against
+    # the VO chain supplies the absolute scale the camera cannot
+    # observe, correcting the vo_scene_depth prior (which is exactly
+    # wrong on any scene whose depth differs from it). Applies in
+    # chunked mode whenever IMU data is present and vo_scale_mode is
+    # metric ("median_depth"/"propagate").
+    imu_metric_scale: bool = True
     # camera-from-imu(body) rotation (rows as tuples — hashable for the
     # frozen config). Identity when the body frame IS the camera frame
     # (synthetic scenes); EuRoC needs cam0's T_BS (io/euroc.py parses it)

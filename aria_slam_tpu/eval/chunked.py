@@ -26,7 +26,9 @@ from aria_slam_tpu.mapping import mapper
 from aria_slam_tpu.ops import epipolar, match as match_ops, orb
 
 
-VERIFY_MAX = 8  # loop-closure candidate pairs verified per chunk (vmapped)
+VERIFY_MAX = 16  # loop-closure candidate pairs verified per chunk (vmapped;
+                 # raised from 8 — on loop-dense revisits the cap bound
+                 # recall, VERDICT r2 weak #6)
 
 
 class ChunkedSlam:
@@ -81,22 +83,30 @@ class ChunkedSlam:
             # object detection ∥ ORB: an independent subgraph inside the
             # SAME program — XLA overlaps them, the dataflow analogue of
             # the reference's two CUDA streams (src/main.cpp:129-140).
-            # Matches whose current-frame keypoint lands in a dynamic-
-            # class box are dropped before RANSAC (src/main.cpp:164-175).
+            # Matches with EITHER endpoint in a dynamic-class box are
+            # dropped before RANSAC (src/main.cpp:164-175 drops on the
+            # current frame only — insufficient: a prev-frame object
+            # keypoint ratio-matched to a background point passes that
+            # gate and still injects an inconsistent correspondence).
+            # dyn_all (C+1, N) is the per-FRAME mask; every consumer
+            # below slices it for its own frame range.
             if detector is not None and cfg.enable_dynamic_filtering:
                 from aria_slam_tpu.ops import boxes as box_ops
 
-                dets = detector(frames[1:])
-                dyn = jax.vmap(box_ops.points_in_dynamic_boxes)(cur.xy, dets)
+                dets = detector(frames)
+                dyn_all = jax.vmap(box_ops.points_in_dynamic_boxes)(
+                    feats.xy, dets)
             else:
-                dyn = jnp.zeros(cur.valid.shape, bool)
+                dyn_all = jnp.zeros(feats.valid.shape, bool)
+            dyn = dyn_all[1:]  # pair-cur frames 1..C
 
             focal = 0.5 * (K[0, 0] + K[1, 1])
             in_thresh_sq = (cfg.ransac.inlier_threshold_px / focal) ** 2
 
-            def pose_one(pf, cf, mm, dyn_f, k, Rg, has_g):
+            def pose_one(pf, cf, mm, dyn_f, dyn_p, k, Rg, has_g):
                 xy_prev = jnp.take_along_axis(pf.xy, mm.train_idx[:, None], 0)
-                valid = mm.valid & pf.valid[mm.train_idx] & ~dyn_f
+                valid = (mm.valid & pf.valid[mm.train_idx] & ~dyn_f
+                         & ~dyn_p[mm.train_idx])
                 delta = epipolar.estimate_relative_pose(
                     xy_prev, cf.xy, valid, K, cfg.ransac, k
                 )
@@ -140,7 +150,8 @@ class ChunkedSlam:
                         delta.inlier_mask & valid)
 
             (R, t, ok, ninl, pins, pin_oks, ZP, MP, Z2, M2, CINL) = jax.vmap(
-                pose_one)(prev, cur, m, dyn, keys, gyro_R, gyro_ok)
+                pose_one)(prev, cur, m, dyn, dyn_all[:-1], keys, gyro_R,
+                          gyro_ok)
 
             # pair-to-pair scale ratios through the shared frame:
             # prev pair's cur-frame depths vs this pair's prev-frame depths
@@ -158,9 +169,13 @@ class ChunkedSlam:
             uvl_prev = jnp.take_along_axis(
                 lprev.xy, ml.train_idx[..., None], 1
             )
-            lvalid = ml.valid & jnp.take_along_axis(
+            # dynamic filtering applies to EVERY geometry consumer, not
+            # just the consecutive-pair RANSAC: lag pairs feed the
+            # backbone edges and triangulation (both endpoints masked)
+            lvalid = (ml.valid & jnp.take_along_axis(
                 lprev.valid, ml.train_idx, 1
-            )
+            ) & ~dyn_all[lag:]
+              & ~jnp.take_along_axis(dyn_all[:-lag], ml.train_idx, 1))
 
             out = {
                 "R": R, "t": t, "ok": ok, "ninl": ninl,
@@ -168,9 +183,14 @@ class ChunkedSlam:
                 "ratios": ratios, "rcounts": rcounts,
                 "Z2": Z2, "M2": M2,
                 "uvl_prev": uvl_prev, "uvl_cur": lcur.xy, "lvalid": lvalid,
-                "desc": cur.desc, "xy": cur.xy, "dvalid": cur.valid,
+                # ~dyn: dynamic-class features stay out of the keyframe
+                # DB and loop verification — two frames seeing the same
+                # MOVING object at different places would otherwise
+                # vote a false loop geometry
+                "desc": cur.desc, "xy": cur.xy,
+                "dvalid": cur.valid & ~dyn,
                 "hists": keyframe_db.descriptor_histogram(
-                    cur.desc, cur.valid),  # (C, 256)
+                    cur.desc, cur.valid & ~dyn),  # (C, 256)
             }
 
             if cfg.chunk_ba.enabled:
@@ -180,9 +200,14 @@ class ChunkedSlam:
                 # geometry — recall drives track length, and track
                 # length is what gives BA leverage (the strict tier's
                 # ~2.8-frame mean tracks barely beat pairwise info).
+                # ~dyn: a slow-moving object's matches can PASS the
+                # per-pair Sampson gate below (small apparent motion ~
+                # small epipolar error) and then corrupt BA through
+                # long consistent tracks — filter the track tier too
                 loose = (match_ops.ratio_gate(
                     cur.valid, best2, second2, cfg.matcher.track_ratio)
-                    & jnp.take_along_axis(prev.valid, bidx2, 1))
+                    & jnp.take_along_axis(prev.valid, bidx2, 1) & ~dyn
+                    & ~jnp.take_along_axis(dyn_all[:-1], bidx2, 1))
                 xyp = jnp.take_along_axis(prev.xy, bidx2[..., None], 1)
                 focal = 0.5 * (K[0, 0] + K[1, 1])
                 egate = (cfg.matcher.track_epipolar_px / focal) ** 2
@@ -263,7 +288,7 @@ class ChunkedSlam:
             lambda db, h, f: loop_closure.batch_candidates(db, h, f, cfg.loop)
         )
         def verify_batch(db, desc, xy, dvalid, z2, m2, scales, fidx, slots,
-                         key):
+                         key, scale_corr):
             """Vmapped geometric verification of up to VERIFY_MAX
             (chunk frame, DB slot) pairs at once (parity: the reference
             verifies top-5 candidates per frame, LoopClosure.cpp:41-66 —
@@ -285,6 +310,7 @@ class ChunkedSlam:
                     db, feats, slot, K, cfg.loop, cfg.ransac, k,
                     cfg.vo_scale_mode, cfg.vo_scene_depth,
                     depths=z2[i], depth_mask=m2[i], depth_scale=scales[i],
+                    scale_corr=scale_corr,
                 )
 
             return jax.vmap(one)(fidx, slots, keys)
@@ -353,17 +379,45 @@ class ChunkedSlam:
         self._zlast = jnp.zeros((cfg.orb.num_features,), jnp.float32)
         self._mlast = jnp.zeros((cfg.orb.num_features,), bool)
         self._scale = 1.0
+        # IMU metric-scale correction (fusion/vi_init.ScaleEstimator,
+        # created lazily on the first chunk that carries IMU data):
+        # cumulative factor applied on top of the scene-depth-pinned
+        # chain so the trajectory metric comes from the accelerometer,
+        # not the vo_scene_depth prior
+        self._scale_est = None
+        self._imu_corr = 1.0
+        # VINS-style retroactive metric rebase: when the IMU correction
+        # jumps (first alignment, or a later >2% EMA move), the whole
+        # RECORDED state — graph node/edge translations, keyframe poses,
+        # map points — is rescaled in one jitted program so the entire
+        # trajectory sits in the best current metric (not just frames
+        # produced after the jump). Donated: these buffers are the big
+        # device state.
+        self._rescale_state = jax.jit(
+            lambda g, db, m, r: (
+                g.replace(
+                    node_pose=g.node_pose.at[:, :3, 3].mul(r),
+                    edge_rel=g.edge_rel.at[:, :3, 3].mul(r)),
+                db.replace(pose=db.pose.at[:, :3, 3].mul(r)),
+                m.replace(points=m.points * r),
+            ),
+            donate_argnums=(0, 1, 2))
 
     def _chain_scales(self, out, c) -> np.ndarray:
         """Per-pair metric scales. "propagate": s_k = s_{k-1} * ratio_k
         through shared features (fallback: scene-depth pin, else keep);
-        "median_depth": per-pair pin; "unit": 1 (reference parity)."""
+        "median_depth": per-pair pin; "unit": 1 (reference parity).
+        The IMU metric correction (self._imu_corr) multiplies the
+        pinned scales last: the chain runs in the UNCORRECTED pin
+        metric (ratios are scale-free) and the accelerometer supplies
+        the absolute factor."""
         mode = self.cfg.vo_scale_mode
         if mode == "unit":
             return np.ones(c, np.float32)
+        corr = self._imu_corr
         pins = np.asarray(out["pins"])
         if mode == "median_depth":
-            return pins
+            return np.clip(pins * corr, 1e-4, 1e4)
         ratios = np.asarray(out["ratios"])
         rcounts = np.asarray(out["rcounts"])
         pin_oks = np.asarray(out["pin_oks"])
@@ -376,12 +430,12 @@ class ChunkedSlam:
                     s = s * float(ratios[i])
                 elif pin_oks[i]:
                     s = float(pins[i])  # chain broken: re-anchor
-            scales[i] = np.clip(s, 0.01, 100.0)
-        self._scale = float(scales[-1])
+            scales[i] = np.clip(s * corr, 0.01, 100.0)
+        self._scale = float(np.clip(s, 0.01, 100.0))
         return scales
 
     def process_chunk(self, frames: np.ndarray, timestamps,
-                      gyro_R=None, gyro_ok=None) -> None:
+                      gyro_R=None, gyro_ok=None, imu_window=None) -> None:
         """frames: (C+1, H, W) — the first frame must be the previous
         chunk's last frame (overlap of 1), except for the first call
         where it is simply the first frame of the sequence.
@@ -390,7 +444,12 @@ class ChunkedSlam:
         from fusion.gyro_prior — when a pair's prior is valid it
         REPLACES the two-view rotation in the chain (the gyro is ~10x
         more accurate over one frame interval) and rescues failed pairs
-        rotation-only."""
+        rotation-only.
+
+        imu_window: optional (imu_ts, imu_accel, imu_gyro) raw IMU
+        stream (full-sequence arrays are fine; windows are sliced by
+        timestamp) — feeds the accelerometer metric-scale estimator
+        (fusion/vi_init.ScaleEstimator) when cfg.imu_metric_scale."""
         cfg = self.cfg
         self._key, k1, k2 = jax.random.split(self._key, 3)
         fr = jnp.asarray(frames, jnp.float32)
@@ -469,22 +528,44 @@ class ChunkedSlam:
             all_finite = True
             for s in range(0, c, W):
                 e = min(s + W, c)
-                if e - s != W:  # ragged tail would force a recompile
-                    break
-                sl = slice(s, e + 1)
-                psl = slice(s, e)
+                rl = e - s
+                if rl == W:
+                    poses_in = jnp.asarray(refined[s:e + 1])
+                    fxy_in = out["fxy"][s:e + 1]
+                    fv_in = out["fvalid"][s:e + 1]
+                    mi_in = out["midx"][s:e]
+                    ci_in = out["cinl"][s:e]
+                else:
+                    # ragged tail (c > 32 and c % 16 != 0): pad the
+                    # window to W by repeating the last frame with dead
+                    # links (cinl False -> single-obs tracks, weight 0;
+                    # fvalid False kills the pad observations outright)
+                    # so the SAME compiled shape refines the tail too
+                    fidx = np.concatenate(
+                        [np.arange(s, e + 1), np.full(W - rl, e)])
+                    pidx = np.concatenate(
+                        [np.arange(s, e), np.zeros(W - rl, np.int64)])
+                    pad_f = jnp.asarray(
+                        np.concatenate([np.ones(rl + 1, bool),
+                                        np.zeros(W - rl, bool)]))
+                    pad_p = jnp.asarray(
+                        np.concatenate([np.ones(rl, bool),
+                                        np.zeros(W - rl, bool)]))
+                    poses_in = jnp.asarray(refined[fidx])
+                    fxy_in = out["fxy"][jnp.asarray(fidx)]
+                    fv_in = out["fvalid"][jnp.asarray(fidx)] & pad_f[:, None]
+                    mi_in = out["midx"][jnp.asarray(pidx)]
+                    ci_in = out["cinl"][jnp.asarray(pidx)] & pad_p[:, None]
                 end_before = refined[e].copy()
                 r_win, err_b, err_a = self._ba(
-                    jnp.asarray(refined[sl]),
-                    out["fxy"][sl], out["fvalid"][sl],
-                    out["midx"][psl], out["cinl"][psl], rs)
-                r_win = np.asarray(r_win)
+                    poses_in, fxy_in, fv_in, mi_in, ci_in, rs)
+                r_win = np.asarray(r_win)[:rl + 1]
                 if not np.all(np.isfinite(r_win)):
                     all_finite = False
                     break
                 # chain the window's end-pose correction into all later
                 # poses so the next window starts from the refined chain
-                refined[sl] = r_win
+                refined[s:e + 1] = r_win
                 if e < c:
                     refined[e + 1:] = (
                         r_win[-1] @ np.linalg.inv(end_before)
@@ -496,6 +577,27 @@ class ChunkedSlam:
                 ).astype(np.float32)
                 self.T = poses_np[-1].copy()
         self._chunk_scales = scales  # for the loop-verify call below
+
+        # ---- IMU metric scale: feed the estimator the chunk's final
+        # poses; the updated correction applies from the NEXT chunk on
+        # (the estimator's tag bookkeeping keeps the window consistent),
+        # plus a retroactive rebase of the recorded state at the end of
+        # this method when the correction moved by > 2%
+        corr_before = self._imu_corr
+        if (cfg.imu_metric_scale and imu_window is not None
+                and cfg.vo_scale_mode != "unit"):
+            if self._scale_est is None:
+                from aria_slam_tpu.fusion.vi_init import ScaleEstimator
+
+                self._scale_est = ScaleEstimator(
+                    R_cam_imu=np.asarray(cfg.imu_cam_rotation, np.float64))
+                # seed the window with the chunk-start pose
+                self._scale_est.update(
+                    np.asarray(timestamps[:1], np.float64),
+                    T_start[None], *imu_window)
+            self._imu_corr = self._scale_est.update(
+                np.asarray(timestamps[1:], np.float64), poses_np,
+                *imu_window)
 
         # ---- pose graph chunk append
         first_node = self.frame_count
@@ -512,14 +614,37 @@ class ChunkedSlam:
             pinl = np.asarray(out["pinl"])
             bvalid = np.asarray(out["okl"]) & np.asarray(out["pinokl"])
             nlag = Rl.shape[0]  # == c + 1 - lag
+            # metric consistency: pinl pins the LAG pair's median scene
+            # depth to vo_scene_depth, but the chain's actual metric at
+            # the pair's first frame k is scales[k] * vo_scene_depth /
+            # pins[k] (median_depth: the IMU correction factor;
+            # propagate: the drifted chain scale too). A raw pinl-scaled
+            # backbone would inject metrically inconsistent measurements
+            # the optimizer reconciles by distorting the trajectory, so
+            # rescale: pinl * scales[k] / pins[k].
+            pins_c = np.asarray(out["pins"])[:nlag]
+            tscale = pinl * scales[:nlag] / np.maximum(pins_c, 1e-6)
+            if cfg.vo_scale_mode == "propagate":
+                # propagate mode re-anchors on pins: the relation above
+                # needs a valid pin at the pair's first frame
+                bvalid = bvalid & np.asarray(out["pin_oks"])[:nlag]
             Tl = np.tile(np.eye(4, dtype=np.float32), (nlag, 1, 1))
             Tl[:, :3, :3] = Rl
-            Tl[:, :3, 3] = tl * pinl[:, None]
+            Tl[:, :3, 3] = tl * tscale[:, None]
             i_idx = first_node - 1 + np.arange(nlag, dtype=np.int32)
             j_idx = i_idx + self.lag
             # same convention as the chain: edge (i, j) measures
-            # T_i^-1 T_j = inv(T_{late<-early})
-            rels_l = np.linalg.inv(Tl).astype(np.float32)
+            # T_i^-1 T_j = inv(T_{late<-early}). Invalid rows can hold
+            # zero rotations / non-finite scales (e.g. every lag-pair
+            # feature filtered out) — gate them into bvalid and invert
+            # in closed rigid form, which never raises on garbage rows
+            # (degrade-don't-crash, SURVEY §5.3).
+            bvalid = bvalid & np.isfinite(Tl).all(axis=(1, 2))
+            Tl[~bvalid] = np.eye(4, dtype=np.float32)
+            RlT = np.transpose(Tl[:, :3, :3], (0, 2, 1))
+            rels_l = np.tile(np.eye(4, dtype=np.float32), (nlag, 1, 1))
+            rels_l[:, :3, :3] = RlT
+            rels_l[:, :3, 3] = -np.einsum("nij,nj->ni", RlT, Tl[:, :3, 3])
             self.graph = self._add_backbone(
                 self.graph, jnp.asarray(i_idx), jnp.asarray(j_idx),
                 jnp.asarray(rels_l), jnp.asarray(bvalid))
@@ -572,6 +697,10 @@ class ChunkedSlam:
                         out["Z2"], out["M2"],
                         jnp.asarray(self._chunk_scales),
                         jnp.asarray(fidx), jnp.asarray(sl), k2,
+                        # the corr the chunk's scales were built with —
+                        # a same-chunk estimator move lands via the
+                        # retro rebase below, not mid-chunk
+                        jnp.asarray(corr_before, jnp.float32),
                     )
                     passed = np.asarray(passed) & live
                     T_rels = np.asarray(T_rels)
@@ -598,6 +727,13 @@ class ChunkedSlam:
                 # rebase the running pose on the optimized graph
                 node = self.frame_count + c - 1
                 self.T = np.asarray(pose_graph.get_pose(self.graph, node))
+                if self._scale_est is not None:
+                    # the rebase re-expresses subsequent poses in a
+                    # corrected world frame; mixing pre/post-rebase
+                    # frames in one alignment window would be
+                    # inconsistent — restart the window (the cumulative
+                    # correction survives)
+                    self._scale_est.reset_window()
 
             self.db = self._kf_insert(self.db, out["desc"], out["xy"],
                                       out["dvalid"], fids,
@@ -606,6 +742,30 @@ class ChunkedSlam:
         for i in range(c):
             self.trajectory.append((timestamps[i + 1], poses_np[i]))
         self.frame_count += c
+
+        # ---- VINS-style retroactive metric rebase (see __init__): the
+        # alignment's absolute estimate applies to the WHOLE raw chain,
+        # so a correction jump rescales everything already recorded —
+        # without this, every frame before the first alignment (~50
+        # frames of warm-up window) would keep the wrong prior metric
+        ratio = self._imu_corr / corr_before
+        if abs(ratio - 1.0) > 0.02:
+            self._retro_rescale(ratio)
+
+    def _retro_rescale(self, ratio: float) -> None:
+        self.graph, self.db, self.map_state = self._rescale_state(
+            self.graph, self.db, self.map_state,
+            jnp.asarray(ratio, jnp.float32))
+        self.T = self.T.copy()
+        self.T[:3, 3] *= ratio
+        traj = []
+        for ts_, T_ in self.trajectory:
+            T2 = T_.copy()
+            T2[:3, 3] *= ratio
+            traj.append((ts_, T2))
+        self.trajectory = traj
+        if self._scale_est is not None:
+            self._scale_est.rebase_scale(ratio)
 
     def finalize(self):
         g = pose_graph.optimize(self.graph, self.cfg.pose_graph,
@@ -619,6 +779,85 @@ class ChunkedSlam:
     def get_map(self):
         return mapper.filter_outliers(self.map_state,
                                       self.cfg.mapper.outlier_sigma)
+
+    # device pytrees serialized by snapshot()/restore(); host scalars
+    # and the scale-estimator window ride alongside in the same npz
+    _SNAP_TREES = ("graph", "db", "map_state")
+
+    def snapshot(self, path: str) -> None:
+        """Serialize the evaluator's FULL state for resumable offline
+        evaluation (SURVEY §5.4 'resumable evaluation'; the online
+        FrameState path is utils/snapshot.py). One npz: device pytrees
+        (pose graph, keyframe DB, map), the scale carry, host scalars,
+        the trajectory so far, and the IMU scale-estimator window."""
+        arrays = {}
+        for name in self._SNAP_TREES:
+            leaves, _ = jax.tree_util.tree_flatten(getattr(self, name))
+            for i, x in enumerate(leaves):
+                arrays[f"{name}_{i}"] = np.asarray(x)
+        arrays["zlast"] = np.asarray(self._zlast)
+        arrays["mlast"] = np.asarray(self._mlast)
+        arrays["rng"] = np.asarray(jax.random.key_data(self._key))
+        arrays["T"] = self.T
+        arrays["counters"] = np.array(
+            [self.frame_count, self.num_loops], np.int64)
+        arrays["scales"] = np.array(
+            [self._scale, self._imu_corr], np.float64)
+        arrays["traj_ts"] = np.array(
+            [t for t, _ in self.trajectory], np.float64)
+        arrays["traj_T"] = (np.stack([T for _, T in self.trajectory])
+                            if self.trajectory
+                            else np.zeros((0, 4, 4), np.float32))
+        if self._scale_est is not None:
+            est = self._scale_est
+            arrays["est_state"] = np.array(
+                [est._corr, float(est._n_good),
+                 1.0 if est._last_p is not None else 0.0], np.float64)
+            arrays["est_last_p"] = (est._last_p if est._last_p is not None
+                                    else np.zeros(3))
+            arrays["est_ts"] = np.asarray(est._ts, np.float64)
+            arrays["est_inc"] = (np.stack(est._inc) if est._inc
+                                 else np.zeros((0, 3)))
+            arrays["est_tag"] = np.asarray(est._tag, np.float64)
+            arrays["est_rwb"] = (np.stack(est._Rwb) if est._Rwb
+                                 else np.zeros((0, 3, 3)))
+        np.savez_compressed(path, **arrays)
+
+    def restore(self, path: str) -> None:
+        """Restore a snapshot() into this evaluator (same config —
+        shapes must match; mismatches fail loudly on reshape)."""
+        data = np.load(path)
+        for name in self._SNAP_TREES:
+            tmpl = getattr(self, name)
+            leaves, tdef = jax.tree_util.tree_flatten(tmpl)
+            new = [jnp.asarray(data[f"{name}_{i}"])
+                   for i in range(len(leaves))]
+            setattr(self, name, jax.tree_util.tree_unflatten(tdef, new))
+        self._zlast = jnp.asarray(data["zlast"])
+        self._mlast = jnp.asarray(data["mlast"])
+        self._key = jax.random.wrap_key_data(jnp.asarray(data["rng"]))
+        self.T = np.asarray(data["T"])
+        self.frame_count = int(data["counters"][0])
+        self.num_loops = int(data["counters"][1])
+        self._scale = float(data["scales"][0])
+        self._imu_corr = float(data["scales"][1])
+        self.trajectory = [(float(t), T) for t, T in
+                           zip(data["traj_ts"], data["traj_T"])]
+        if "est_state" in data:
+            from aria_slam_tpu.fusion.vi_init import ScaleEstimator
+
+            est = ScaleEstimator(
+                R_cam_imu=np.asarray(self.cfg.imu_cam_rotation,
+                                     np.float64))
+            est._corr = float(data["est_state"][0])
+            est._n_good = int(data["est_state"][1])
+            est._last_p = (np.asarray(data["est_last_p"])
+                           if data["est_state"][2] > 0 else None)
+            est._ts = list(np.asarray(data["est_ts"]))
+            est._inc = list(np.asarray(data["est_inc"]))
+            est._tag = list(np.asarray(data["est_tag"]))
+            est._Rwb = list(np.asarray(data["est_rwb"]))
+            self._scale_est = est
 
     def export_map(self, ply_path: Optional[str] = None,
                    pcd_path: Optional[str] = None) -> int:

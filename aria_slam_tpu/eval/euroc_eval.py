@@ -55,20 +55,38 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
 
         pipe = ChunkedSlam(config, chunk=chunk)
 
+        n_skipped = 0
+
         def load_chunk(k):
+            nonlocal n_skipped
             hi = min(k + chunk, n_frames - 1)
             idxs = list(range(k, hi + 1))
             if len(idxs) < chunk + 1:  # pad by repeating the last frame
                 idxs = idxs + [idxs[-1]] * (chunk + 1 - len(idxs))
-            frames = np.stack([euroc.load_image(data.image_paths[i])
-                               for i in idxs])
-            return frames, [data.image_ts[i] for i in idxs], hi
+            frames = []
+            for i in idxs:
+                img = euroc.load_image_safe(data.image_paths[i])
+                if img is None:
+                    # unreadable frame: substitute the previous good one
+                    # (an identity pair the estimator shrugs off) — the
+                    # reference reader skips and continues,
+                    # EuRoCReader.cpp:287-291; aborting a whole run on
+                    # one bad file is the r2-flagged parity hole
+                    n_skipped += 1
+                    img = (frames[-1] if frames
+                           else np.zeros((data.camera.height,
+                                          data.camera.width), np.float32))
+                frames.append(img)
+            return np.stack(frames), [data.image_ts[i] for i in idxs], hi
 
         # fixed chunk size => one compile; iterate with 1-frame overlap,
         # decoding the next chunk while the device runs the current one
         use_gyro = config.gyro_chain_rotation and len(data.imu_ts) > 0
         if use_gyro:
             from aria_slam_tpu.fusion import gyro_prior
+        imu_window = ((data.imu_ts, data.imu_accel, data.imu_gyro)
+                      if config.imu_metric_scale and len(data.imu_ts) > 0
+                      else None)
 
         pool = ThreadPoolExecutor(1)
         k = 0
@@ -83,7 +101,7 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
                     data.imu_ts, data.imu_gyro, ts,
                     R_cam_imu=data.R_cam_imu)
             f0 = time.perf_counter()
-            pipe.process_chunk(frames, ts, gR, gok)
+            pipe.process_chunk(frames, ts, gR, gok, imu_window=imu_window)
             frame_times.append((time.perf_counter() - f0) / chunk)
             k = hi
             if verbose and (k + 1) % 96 < chunk:
@@ -96,9 +114,13 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
         pipe = SlamPipeline(config)
         t_prev = -np.inf
         online_fused = [] if config.enable_fusion else None
+        n_skipped = 0
         for k in range(n_frames):
             ts = data.image_ts[k]
-            img = euroc.load_image(data.image_paths[k])
+            img = euroc.load_image_safe(data.image_paths[k])
+            if img is None:  # skip-and-continue (EuRoCReader.cpp:287-291)
+                n_skipped += 1
+                continue
             imu_t, imu_a, imu_g = euroc.imu_window(data, t_prev, ts)
             for j in range(len(imu_t)):
                 pipe.process_imu(imu_t[j], imu_a[j], imu_g[j])
@@ -168,8 +190,16 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
     rpe = metrics.rpe_rmse(est_kept, gt_pos) if len(gt_pos) else float("nan")
     if len(gt_pos):
         est_R = np.stack([pipe.trajectory[i][1][:3, :3] for i in keep])
+        # GT orientation is world-from-BODY (T_WB from
+        # state_groundtruth_estimate0) while the estimate is world-from-
+        # CAMERA; relative-rotation RPE is NOT invariant under
+        # conjugating one side by the constant cam-body extrinsic
+        # (EuRoC's cam0 T_BS is ~90 deg), so map the estimates into the
+        # body frame first: R_wb = R_wc @ R_cam_imu (x_cam = R_cam_imu
+        # x_body). Identity on synthetic scenes where body == camera.
+        est_R_body = est_R @ np.asarray(data.R_cam_imu, est_R.dtype)
         rpe_rot = metrics.rpe_rot_rmse_deg(
-            est_R, metrics.quat_to_mat_np(np.asarray(gt_quat)))
+            est_R_body, metrics.quat_to_mat_np(np.asarray(gt_quat)))
     else:
         rpe_rot = float("nan")
     # median: robust to one-off mid-run compiles (e.g. the first loop
@@ -217,7 +247,17 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
         "ate_rmse_m": ate,
         "rpe_rmse_m": rpe,
         "rpe_rot_deg": rpe_rot,
+        "skipped_images": n_skipped,
     }
+    if len(gt_pos) >= 3:
+        # absolute-scale diagnostics: the standard ATE above aligns with
+        # a free Umeyama scale, which hides metric-scale errors; the
+        # scale itself (1.0 == trajectory already metric) and the
+        # scale-fixed ATE expose them (IMU metric scale, vi_init)
+        s_um, _, _ = metrics.align_umeyama(est_kept, gt_pos)
+        results["umeyama_scale"] = float(s_um)
+        results["ate_noscale_rmse_m"] = metrics.ate_rmse(
+            est_kept, gt_pos, with_scale=False)
     if fused_pos is not None and len(gt_pos):
         results["ate_fused_rmse_m"] = metrics.ate_rmse(fused_pos[keep], gt_pos)
         with open(os.path.join(out_dir, "fused_trajectory.txt"), "w") as f:
