@@ -83,9 +83,12 @@ def _full_scores(db: KeyframeDB, feats: Features, slots, ratio):
     return jnp.sum(good.astype(jnp.float32), 0) / num_q  # (k,)
 
 
-def _match_against_slot(feats: Features, db: KeyframeDB, slot, ratio):
+def _match_against_slot(feats: Features, db: KeyframeDB, slot, ratio,
+                        loose_ratio=None):
     """Ratio-test matches of the query against one DB keyframe; returns
-    aligned (xy_q, xy_t, valid)."""
+    aligned (xy_q, xy_t, valid[, valid_loose]) — the loose tier shares
+    the SAME distance matrix (one Hamming pass, two gates), mirroring
+    the chunk front-end's strict/track split."""
     cand_desc = db.desc[slot]        # (F, B)
     cand_valid = db.desc_valid[slot]
     cand_xy = db.xy[slot]
@@ -93,9 +96,43 @@ def _match_against_slot(feats: Features, db: KeyframeDB, slot, ratio):
     best_i, second_i, best_idx = top2_min(dist)
     best = best_i.astype(jnp.float32)
     second = second_i.astype(jnp.float32)
-    ok = feats.valid & (best < ratio * second) & (best < float(1 << 20))
+    finite = feats.valid & (best < float(1 << 20))
+    ok = finite & (best < ratio * second)
     xy_t = cand_xy[best_idx]
-    return feats.xy, xy_t, ok
+    if loose_ratio is None:
+        return feats.xy, xy_t, ok
+    ok_loose = finite & (best < loose_ratio * second)
+    return feats.xy, xy_t, ok, ok_loose
+
+
+def _guided_rematch(delta, xy_q, xy_t, ok_loose, K,
+                    cfg: LoopClosureConfig):
+    """Pose-guided re-match: re-admit loose-ratio matches consistent
+    with the verified epipolar geometry, re-polish (R, t) on the bigger
+    consensus, and return the boosted delta. A candidate whose RANSAC
+    failed keeps its delta unchanged (its E is arbitrary — gating loose
+    matches on it would manufacture a consensus around noise, the same
+    failure ADVICE r2 flagged for translation_given_rotation)."""
+    p1 = epipolar.normalize_points(xy_q, K)
+    p2 = epipolar.normalize_points(xy_t, K)
+    focal = 0.5 * (K[0, 0] + K[1, 1])
+    thresh_sq = (cfg.verify_threshold_px / focal) ** 2
+    E = epipolar.lax_skew_E(delta.R, delta.t)
+    s = epipolar.sampson_error(E, p1, p2)
+    cand = (ok_loose & (s < thresh_sq)) | delta.inlier_mask
+    R2, t2 = epipolar.polish_pose_sampson(
+        delta.R, delta.t, p1, p2, cand.astype(p1.dtype), thresh_sq,
+        iters=4)
+    errs2 = epipolar.sampson_error(epipolar.lax_skew_E(R2, t2), p1, p2)
+    mask2 = (errs2 < thresh_sq) & ok_loose
+    n2 = jnp.sum(mask2.astype(jnp.int32))
+    use = delta.success & (n2 >= delta.num_inliers)
+    return delta.replace(
+        R=jnp.where(use, R2, delta.R),
+        t=jnp.where(use, t2, delta.t),
+        inlier_mask=jnp.where(use, mask2, delta.inlier_mask),
+        num_inliers=jnp.where(use, n2, delta.num_inliers),
+    )
 
 
 def detect(
@@ -130,17 +167,30 @@ def detect(
     top_scores, top_pos = jax.lax.top_k(scores, cfg.top_k_candidates)
     top_slots = cand_slots[top_pos]
 
-    # geometric verification RANSAC at the loop threshold
+    # geometric verification RANSAC at the loop threshold; with guided
+    # re-matching on, geometry verifies at a reduced strict bar and the
+    # full min_matches bar applies to the boosted count (see
+    # verify_candidate)
+    guided = cfg.guided_ratio > 0
+    ransac_bar = (max(8, int(cfg.min_matches * cfg.guided_min_frac))
+                  if guided else cfg.min_matches)
     loop_ransac = dataclasses.replace(
         ransac,
         inlier_threshold_px=cfg.verify_threshold_px,
-        min_inliers=cfg.min_matches,
+        min_inliers=ransac_bar,
     )
     keys = jax.random.split(key, cfg.top_k_candidates)
 
     def verify(slot, score, k):
-        xy_q, xy_t, ok = _match_against_slot(feats, db, slot, cfg.ratio)
+        if guided:
+            xy_q, xy_t, ok, ok_loose = _match_against_slot(
+                feats, db, slot, cfg.ratio, cfg.guided_ratio)
+        else:
+            xy_q, xy_t, ok = _match_against_slot(feats, db, slot, cfg.ratio)
         delta = epipolar.estimate_relative_pose(xy_q, xy_t, ok, K, loop_ransac, k)
+        if guided:
+            delta = _guided_rematch(delta, xy_q, xy_t, ok_loose, K, cfg)
+        ok_eff = ok_loose if guided else ok
         passed = (
             (score > 0.0)
             & delta.success
@@ -149,9 +199,9 @@ def detect(
         # scale the loop translation into the SAME metric frame as the
         # odometry (the reference keeps |t|=1, LoopClosure.cpp:176-183 —
         # a flaw its own scale-free VO hides; ours is scale-normalized)
-        t_use = _loop_scale(delta, xy_q, xy_t, ok, K, scale_mode,
+        t_use = _loop_scale(delta, xy_q, xy_t, ok_eff, K, scale_mode,
                             scene_depth, depths, depth_mask, depth_scale)
-        par, _ = epipolar.mean_parallax_deg(delta, xy_q, xy_t, ok, K)
+        par, _ = epipolar.mean_parallax_deg(delta, xy_q, xy_t, ok_eff, K)
         T = lie.se3_matrix(delta.R, t_use)
         return passed, delta.num_inliers, T, epipolar.parallax_t_weight(par)
 
@@ -187,7 +237,7 @@ def score_candidates(db: KeyframeDB, feats: Features, slots, cfg):
 
 
 def _loop_scale(delta, xy_q, xy_t, ok, K, scale_mode, scene_depth,
-                depths, depth_mask, depth_scale):
+                depths, depth_mask, depth_scale, scale_corr=1.0):
     """Metric scale for a loop edge's translation.
 
     scale_mode="propagate" with depth args: ratio the loop pair's
@@ -196,11 +246,16 @@ def _loop_scale(delta, xy_q, xy_t, ok, K, scale_mode, scene_depth,
     edge lands in exactly the odometry frame's metric scale. Falls back
     to scene-depth pinning when too few slots are shared.
     scale_mode="median_depth": scene-depth pinning (same statistic the
-    odometry pin uses). "unit": |t| = 1 (reference parity)."""
+    odometry pin uses). "unit": |t| = 1 (reference parity).
+    scale_corr: the odometry chain's IMU metric correction
+    (fusion/vi_init) — multiplies pin-derived scales so loop edges land
+    in the SAME corrected metric as the chain (depth_scale-derived
+    scales already carry it)."""
     if scale_mode == "unit":
         return delta.t
     z1, _, good = epipolar.pair_depths(delta, xy_q, xy_t, ok, K)
     pin, _ = epipolar.pin_scale(z1, good, scene_depth)
+    pin = pin * scale_corr
     if scale_mode == "propagate" and depths is not None:
         ratio, cnt = epipolar.geomean_ratio(depths, z1, good & depth_mask)
         s = jnp.where(cnt >= 10, depth_scale * ratio, pin)
@@ -212,20 +267,39 @@ def _loop_scale(delta, xy_q, xy_t, ok, K, scale_mode, scene_depth,
 def verify_candidate(db: KeyframeDB, feats: Features, slot, K,
                      cfg: LoopClosureConfig, ransac: RansacConfig, key,
                      scale_mode: str = "unit", scene_depth: float = 4.0,
-                     depths=None, depth_mask=None, depth_scale=None):
+                     depths=None, depth_mask=None, depth_scale=None,
+                     scale_corr=1.0):
     """Geometric verification of one (query, DB slot) pair ->
     (passed, num_inliers, T_rel) with T_rel = T_matched_from_current.
     depths/depth_mask (F,) + depth_scale (): the query frame's odometry
     unit depths and running metric scale (see _loop_scale)."""
+    guided = cfg.guided_ratio > 0
+    # with guided re-matching the RANSAC verifies GEOMETRY on a reduced
+    # strict-inlier bar; the full min_matches bar applies to the
+    # guided-boosted count below (recall: strict 0.7-ratio matching
+    # under viewpoint change often lands at 20-40 inliers for a true
+    # revisit the loose tier confirms at 50+)
+    ransac_bar = (max(8, int(cfg.min_matches * cfg.guided_min_frac))
+                  if guided else cfg.min_matches)
     loop_ransac = dataclasses.replace(
         ransac, inlier_threshold_px=cfg.verify_threshold_px,
-        min_inliers=cfg.min_matches,
+        min_inliers=ransac_bar,
     )
-    xy_q, xy_t, ok = _match_against_slot(feats, db, slot, cfg.ratio)
+    if guided:
+        xy_q, xy_t, ok, ok_loose = _match_against_slot(
+            feats, db, slot, cfg.ratio, cfg.guided_ratio)
+    else:
+        xy_q, xy_t, ok = _match_against_slot(feats, db, slot, cfg.ratio)
     delta = epipolar.estimate_relative_pose(xy_q, xy_t, ok, K, loop_ransac, key)
+    if guided:
+        delta = _guided_rematch(delta, xy_q, xy_t, ok_loose, K, cfg)
+    # the boosted inlier_mask lives in the loose tier (strict ⊆ loose),
+    # so downstream masks must too
+    ok_eff = ok_loose if guided else ok
     passed = delta.success & (delta.num_inliers >= cfg.min_matches)
-    t_use = _loop_scale(delta, xy_q, xy_t, ok, K, scale_mode, scene_depth,
-                        depths, depth_mask, depth_scale)
-    par, _ = epipolar.mean_parallax_deg(delta, xy_q, xy_t, ok, K)
+    t_use = _loop_scale(delta, xy_q, xy_t, ok_eff, K, scale_mode,
+                        scene_depth, depths, depth_mask, depth_scale,
+                        scale_corr)
+    par, _ = epipolar.mean_parallax_deg(delta, xy_q, xy_t, ok_eff, K)
     return (passed, delta.num_inliers, lie.se3_matrix(delta.R, t_use),
             epipolar.parallax_t_weight(par))
