@@ -331,7 +331,8 @@ class SlamPipeline:
     """
 
     def __init__(self, config: PipelineConfig | None = None, *,
-                 extractor=None, matcher=None, detector=None, seed: int = 0):
+                 extractor=None, matcher=None, detector=None, seed: int = 0,
+                 lazy_depth: int = 0):
         self.config = config or PipelineConfig()
         # donate the carry: the FrameState holds the keyframe DB
         # (~260 MB at full size) and map buffers — without donation every
@@ -351,6 +352,17 @@ class SlamPipeline:
         self.on_loop: Optional[Callable] = None
         self.num_loops = 0
         self.trajectory: list = []  # (ts, 4x4 pose) after each frame
+        # lazy_depth > 0: PIPELINED online mode — process_frame enqueues
+        # the step and returns WITHOUT forcing device results; outputs
+        # are forced `lazy_depth` frames late, so consecutive step
+        # programs overlap across the dispatch/relay round-trip (the
+        # H13-multithreading analogue: jax async dispatch is the
+        # pipeline, the pending deque is the queue). Loop closures are
+        # handled at pop time — edges land on the recorded node ids and
+        # the rebase adopts the LATEST node's optimized pose, so being
+        # a few frames late only delays (never corrupts) the correction.
+        self._lazy = int(lazy_depth)
+        self._pending: list = []
 
     # -- parity: processIMU(ImuMeasurement) (SlamPipeline.hpp:58)
     def process_imu(self, timestamp: float, accel, gyro) -> None:
@@ -390,6 +402,16 @@ class SlamPipeline:
         )
         self.last_output = out
 
+        if self._lazy:
+            # node id of this frame, tracked on host (forcing the device
+            # frame_id scalar would defeat the pipelining): frames are
+            # nodes 1..N in dispatch order
+            node_id = len(self.trajectory) + len(self._pending) + 1
+            self._pending.append((timestamp, out, node_id))
+            if len(self._pending) > self._lazy:
+                self._pop_pending()
+            return None
+
         if bool(out.loop.detected):
             self._handle_loop(out)
 
@@ -399,11 +421,29 @@ class SlamPipeline:
             self.on_pose(timestamp, pose)
         return pose
 
-    def _handle_loop(self, out: StepOutput) -> None:
+    def _pop_pending(self) -> None:
+        """Force and publish the oldest deferred frame output."""
+        timestamp, out, node_id = self._pending.pop(0)
+        if bool(out.loop.detected):
+            self._handle_loop(out, node_id=node_id)
+        pose = np.asarray(out.pose)
+        self.trajectory.append((timestamp, pose))
+        if self.on_pose is not None:
+            self.on_pose(timestamp, pose)
+
+    def flush(self) -> None:
+        """Drain deferred outputs (pipelined mode); call before reading
+        the trajectory or finalizing."""
+        while self._pending:
+            self._pop_pending()
+
+    def _handle_loop(self, out: StepOutput, node_id: int | None = None) -> None:
         """Parity: on-loop addLoopEdge + optimize(10) + adopt pose
-        (euroc_eval.cpp:234-239)."""
+        (euroc_eval.cpp:234-239). node_id: the node the loop's query
+        frame landed on (pipelined mode pops late; the live mode reads
+        the current frame id)."""
         cfgpg = self.config.pose_graph
-        cur = int(self.state.frame_id)  # current node id
+        cur = int(node_id if node_id is not None else self.state.frame_id)
         # loop.frame_id is the matched keyframe's frame index -> node id + 1
         # (node 0 is the pre-first-frame origin)
         matched_node = int(out.loop.frame_id) + 1
@@ -418,7 +458,13 @@ class SlamPipeline:
             t_weight=jnp.asarray(out.loop.t_weight),
         )
         g = self._optimize(g)
-        new_pose = pose_graph.get_pose(g, cur)
+        # rebase the RUNNING pose on the optimized graph. In pipelined
+        # mode frames dispatched after this loop's query frame already
+        # exist — adopt the LATEST node's optimized pose, not the
+        # (stale) query node's.
+        latest = (len(self.trajectory) + len(self._pending)
+                  if self._lazy else cur)
+        new_pose = pose_graph.get_pose(g, latest)
         self.state = self.state.replace(graph=g, pose=new_pose)
         self.num_loops += 1
         if self.on_loop is not None:
@@ -427,6 +473,7 @@ class SlamPipeline:
     # -- final global optimization (parity: optimize(50) post-loop,
     # euroc_eval.cpp:281-288)
     def finalize(self) -> None:
+        self.flush()
         g = pose_graph.optimize(
             self.state.graph, self.config.pose_graph,
             self.config.pose_graph.final_lm_iterations,
