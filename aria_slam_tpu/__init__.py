@@ -24,6 +24,18 @@ import jax as _jax
 # unaffected; the detector opts into bf16 explicitly where it wants speed.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Honor a user-set JAX_PLATFORMS via the config route: some device
+# plugins (e.g. this rig's axon relay) ignore the env var at backend
+# init, silently routing `JAX_PLATFORMS=cpu` CLI drives onto the
+# tunneled TPU (where they hang if the relay is busy). The config
+# route always wins; effective only before first backend use,
+# harmless after.
+import os as _os
+
+_plat = _os.environ.get("JAX_PLATFORMS")
+if _plat:
+    _jax.config.update("jax_platforms", _plat)
+
 from aria_slam_tpu.config import (  # noqa: F401
     CameraConfig,
     OrbConfig,

@@ -30,7 +30,11 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-CHUNK = 64  # frame pairs per program call
+# frame pairs per program call. Chunk study on this rig (clean, r3):
+# 64 -> 322 FPS, 96 -> 365 FPS, 128 -> 318 FPS — 96 amortizes the
+# ~38 ms dispatch floor best before the program outgrows what the
+# scheduler overlaps well; BENCH_CHUNK overrides for studies.
+CHUNK = int(os.environ.get("BENCH_CHUNK", "96"))
 NUM_CHUNKS = 4
 
 
