@@ -33,7 +33,11 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 import os as _os
 
 _plat = _os.environ.get("JAX_PLATFORMS")
-if _plat:
+if _plat and all(p.strip() in ("cpu", "tpu")
+                 for p in _plat.split(",") if p.strip()):
+    # only values JAX core recognizes: the relay's own sitecustomize
+    # exports its PLUGIN name (not a platform name), which must keep
+    # going through the plugin's default selection
     _jax.config.update("jax_platforms", _plat)
 
 from aria_slam_tpu.config import (  # noqa: F401
