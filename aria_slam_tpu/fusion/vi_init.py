@@ -380,6 +380,20 @@ class ScaleEstimator:
     LS covariance of s; an unobservable window holds the last good
     correction.
 
+    3. CONSENSUS before commitment. On low-excitation captures
+       (rotation-dominant motion: excitation ~0.1 m/s^2) individual
+       windows can pass the per-solve gates marginally yet scatter
+       wildly (measured on the full-res rotloop: s = 0.26..1.02, one
+       s_rel_std = 0.431 solve just under the 0.45 gate jumped the
+       correction to 0.69 and pushed ATE 0.30 -> 0.39). The correction
+       is therefore only COMMITTED once the recent passing solves,
+       fused inverse-variance in log-s and inflated by their empirical
+       overdispersion (reduced chi^2 — scattered solves claiming small
+       sigmas do not fake agreement), pin log-s to better than
+       `commit_rel_std`. One genuinely confident solve commits
+       immediately (the VINS-style init jump survives); a string of
+       mutually inconsistent marginal solves never does.
+
     A pose-graph rebase (loop closure) expresses subsequent poses in a
     different world frame — call `reset_window()` at that point (the
     cumulative correction survives; only the window restarts).
@@ -387,7 +401,9 @@ class ScaleEstimator:
 
     def __init__(self, R_cam_imu=None, window: int = 64, stride: int = 1,
                  ema: float = 0.35, min_excitation: float = 0.05,
-                 max_g_err: float = 1.5, min_fill: float = 0.75):
+                 max_g_err: float = 1.5, min_fill: float = 0.75,
+                 commit_rel_std: float = 0.25, sigma_floor: float = 0.02,
+                 hist_len: int = 8):
         self.R_cam_imu = (np.eye(3) if R_cam_imu is None
                           else np.asarray(R_cam_imu, np.float64))
         self.window = window
@@ -396,6 +412,9 @@ class ScaleEstimator:
         self.min_excitation = min_excitation
         self.max_g_err = max_g_err
         self.min_fill = min_fill
+        self.commit_rel_std = commit_rel_std
+        self.sigma_floor = sigma_floor
+        self.hist_len = hist_len
         self._ts: list = []      # frame times (float64 s)
         self._inc: list = []     # world increment from the previous frame
         self._tag: list = []     # correction active when appended
@@ -403,7 +422,32 @@ class ScaleEstimator:
         self._last_p = None
         self._corr = 1.0
         self._n_good = 0
+        self._hist: list = []    # gate-passing (log s, sigma) solves
         self.last = None         # last align() report (diagnostics)
+
+    def _consensus(self):
+        """Fuse the solve history in log-s: inverse-variance mean, with
+        the effective std the LARGER of (a) the posterior inflated by
+        the reduced chi^2 and (b) the UN-shrunk weighted empirical
+        scatter of the solves. (b) is what stops count from faking
+        confidence: consecutive windows share ~75-95% of their frames,
+        so solve errors are strongly correlated and do NOT average as
+        1/sqrt(n) — five scattered marginal solves (the rotloop regime,
+        s = 0.26..1.02 each claiming sigma ~0.4) must read as ~0.5
+        uncertain, not 0.4/sqrt(5). Returns (mu, eff_std) or
+        (None, inf) with an empty history."""
+        if not self._hist:
+            return None, np.inf
+        ls = np.array([h[0] for h in self._hist])
+        sg = np.array([h[1] for h in self._hist])
+        w = 1.0 / sg**2
+        mu = float(np.sum(w * ls) / np.sum(w))
+        if len(ls) < 2:
+            return mu, float(sg[0])
+        chi2_red = float(np.sum(w * (ls - mu) ** 2) / (len(ls) - 1))
+        post = float(np.sqrt(1.0 / np.sum(w))) * np.sqrt(max(1.0, chi2_red))
+        emp = float(np.sqrt(np.sum(w * (ls - mu) ** 2) / np.sum(w)))
+        return mu, max(post, emp)
 
     def reset_window(self):
         self._ts, self._inc, self._tag, self._Rwb = [], [], [], []
@@ -467,16 +511,27 @@ class ScaleEstimator:
         rep = align(pos, rwb[:-1], dp, dv, dts, ok, t_sel=ts - ts[0])
         self.last = rep
         if _estimator_gates(rep, self.min_excitation, self.max_g_err):
-            # rep["s"] is the ABSOLUTE correction for the raw chain;
-            # pull the cumulative correction toward it. First good
-            # solve JUMPS (VINS-style init — starting metrically wrong
-            # costs the whole early trajectory), later solves smooth.
-            alpha = 1.0 if self._n_good < 1 else self.ema
-            self._n_good += 1
-            self._corr = float(np.clip(
-                np.exp((1.0 - alpha) * np.log(self._corr)
-                       + alpha * np.log(max(rep["s"], 1e-6))),
-                1e-2, 1e2))
+            # rep["s"] is the ABSOLUTE correction for the raw chain
+            # (solve-to-solve comparable), so passing solves accumulate
+            # into a consensus (class docstring #3) ...
+            self._hist.append((float(np.log(max(rep["s"], 1e-6))),
+                               max(float(rep["s_rel_std"]),
+                                   self.sigma_floor)))
+            self._hist = self._hist[-self.hist_len:]
+            mu, eff = self._consensus()
+            rep["consensus_s"] = None if mu is None else float(np.exp(mu))
+            rep["consensus_rel_std"] = eff
+            # ... and the correction moves only once that consensus is
+            # tight. First commit JUMPS to the consensus (VINS-style
+            # init — starting metrically wrong costs the whole early
+            # trajectory), later solves smooth toward it.
+            if eff <= self.commit_rel_std:
+                alpha = 1.0 if self._n_good < 1 else self.ema
+                self._n_good += 1
+                self._corr = float(np.clip(
+                    np.exp((1.0 - alpha) * np.log(self._corr)
+                           + alpha * mu),
+                    1e-2, 1e2))
         return self._corr
 
     def correction(self) -> float:

@@ -80,6 +80,61 @@ def test_align_underdetermined_window_gated():
     assert not rep["ok"]
 
 
+def test_consensus_rejects_scattered_marginal_solves(monkeypatch):
+    """The round-3 rotloop failure mode: low-excitation windows pass
+    the per-solve gates marginally (s_rel_std just under 0.45) yet
+    scatter wildly (s = 0.26..1.02) — ONE such solve must not move the
+    correction (measured regression: corr jumped to 0.69, ATE
+    0.30 -> 0.39). Scripted align() reports drive the estimator: a
+    stream of mutually inconsistent marginal solves never commits; a
+    consistent confident stream commits immediately."""
+    scripted = {"reports": []}
+
+    def fake_align(pos, rwb, dp, dv, dts, ok, refine_gravity=True,
+                   t_sel=None):
+        rep = scripted["reports"].pop(0)
+        return {"s": rep[0], "g": np.array([0.0, 0.0, -vi_init.GRAVITY]),
+                "v": np.zeros((len(pos), 3)), "residual": 1.0,
+                "n_pairs": 30, "excitation": 0.3, "s_rel_std": rep[1],
+                "g_err": 0.1, "ok": True}
+
+    def fake_preint(imu_ts, imu_accel, imu_gyro, ts, **kw):
+        p = len(ts) - 1
+        return (np.zeros((p, 3), np.float32), np.zeros((p, 3), np.float32),
+                np.full(p, 0.1, np.float32), np.ones(p, bool))
+
+    monkeypatch.setattr(vi_init, "align", fake_align)
+    monkeypatch.setattr(vi_init, "preintegrate_pairs", fake_preint)
+
+    def drive(reports):
+        scripted["reports"] = list(reports)
+        est = vi_init.ScaleEstimator(window=8, min_fill=0.5)
+        corr = 1.0
+        # solves start once the window holds 7 frames (min_fill floor):
+        # 6 warmup frames, then exactly one solve per scripted report
+        for k in range(6 + len(reports)):
+            ts = np.array([0.1 * k])
+            T = np.eye(4)[None].copy()
+            T[0, :3, 3] = [0.01 * k, 0.0, 0.0]
+            corr = est.update(ts, T, np.zeros(0), np.zeros((0, 3)),
+                              np.zeros((0, 3)))
+        return corr, est
+
+    # rotloop regime: marginal sigmas, wildly scattered s -> no commit
+    corr, est = drive([(0.69, 0.431), (0.26, 0.40), (1.02, 0.38),
+                       (0.45, 0.42), (0.80, 0.44)])
+    assert corr == 1.0, corr
+    assert est.last["consensus_rel_std"] > est.commit_rel_std
+
+    # sweep regime: one confident solve -> immediate VINS-style jump
+    corr, _ = drive([(2.0, 0.08), (2.05, 0.09)])
+    assert corr == pytest.approx(2.0, rel=0.05), corr
+
+    # agreement between marginal solves DOES eventually commit
+    corr, _ = drive([(2.0, 0.30)] * 8)
+    assert corr == pytest.approx(2.0, rel=0.05), corr
+
+
 def test_scale_estimator_converges_chunked():
     """Feed mis-scaled poses chunk by chunk; the cumulative correction
     must converge to the true factor (and stay there)."""
