@@ -821,6 +821,11 @@ class ChunkedSlam:
             arrays["est_tag"] = np.asarray(est._tag, np.float64)
             arrays["est_rwb"] = (np.stack(est._Rwb) if est._Rwb
                                  else np.zeros((0, 3, 3)))
+            # the consensus history gates when a correction COMMITS; a
+            # restore without it re-forms consensus from scratch and can
+            # commit on a single marginal solve
+            arrays["est_hist"] = (np.asarray(est._hist, np.float64)
+                                  if est._hist else np.zeros((0, 2)))
         np.savez_compressed(path, **arrays)
 
     def restore(self, path: str) -> None:
@@ -857,6 +862,9 @@ class ChunkedSlam:
             est._inc = list(np.asarray(data["est_inc"]))
             est._tag = list(np.asarray(data["est_tag"]))
             est._Rwb = list(np.asarray(data["est_rwb"]))
+            if "est_hist" in data:
+                est._hist = [(float(a), float(b))
+                             for a, b in np.asarray(data["est_hist"])]
             self._scale_est = est
 
     def export_map(self, ply_path: Optional[str] = None,

@@ -40,16 +40,24 @@ from aria_slam_tpu.ops import epipolar, match as match_ops, orb
 
 
 def make_multi_chunk_frontend(cfg: PipelineConfig, mesh: Mesh | None):
-    """Returns frontend(frames (S, C+1, H, W), keys (S*C,)) ->
+    """Returns frontend(frames (S, C+1, H, W), keys (S*C,),
+    gyro_R (S, C, 3, 3), gyro_ok (S, C)) ->
     (R, t, ok, pins, pin_oks) each with leading (S, C).
 
     The sequence axis folds into the batch axis of the natively-batched
     kernels (S is the OUTER axis, so the reshape keeps every shard's
     rows local — no resharding collectives), and shards over 'data'.
+
+    Gyro fusion happens HERE, not on host: as in eval/chunked.py, the
+    translation is linearly re-solved under the gyro rotation so (R, t)
+    stay self-consistent (a gyro R glued to the VO t — which was solved
+    jointly with the discarded two-view R — corrupts the chained poses).
     """
     K = jnp.asarray(cfg.camera.K)
+    focal = 0.5 * (cfg.camera.fx + cfg.camera.fy)
+    in_thresh_sq = (cfg.ransac.inlier_threshold_px / focal) ** 2
 
-    def frontend(frames, keys):
+    def frontend(frames, keys, gyro_R, gyro_ok):
         from aria_slam_tpu.ops.undistort import undistort_points
 
         s, cp1, h, w = frames.shape
@@ -64,17 +72,32 @@ def make_multi_chunk_frontend(cfg: PipelineConfig, mesh: Mesh | None):
             lambda x: x[:, 1:].reshape(s * c, *x.shape[2:]), feats)
         m = match_ops.match_batched(cur, prev, cfg.matcher.ratio)
 
-        def pose_one(pf, cf, mm, k):
+        def pose_one(pf, cf, mm, k, Rg, has_g):
             xy_prev = jnp.take_along_axis(pf.xy, mm.train_idx[:, None], 0)
             valid = mm.valid & pf.valid[mm.train_idx]
             delta = epipolar.estimate_relative_pose(
                 xy_prev, cf.xy, valid, K, cfg.ransac, k)
+            t_g, mask_g = epipolar.translation_given_rotation(
+                Rg, epipolar.normalize_points(xy_prev, K),
+                epipolar.normalize_points(cf.xy, K),
+                delta.inlier_mask.astype(jnp.float32),
+                thresh_sq=in_thresh_sq, valid=valid)
+            ninl_g = jnp.sum(mask_g.astype(jnp.int32))
+            delta = delta.replace(
+                R=jnp.where(has_g, Rg, delta.R),
+                t=jnp.where(has_g, t_g, delta.t),
+                inlier_mask=jnp.where(has_g, mask_g, delta.inlier_mask),
+                success=jnp.where(
+                    has_g, ninl_g > cfg.ransac.min_inliers, delta.success),
+            )
             z1, _, zgood = epipolar.pair_depths(
                 delta, xy_prev, cf.xy, valid, K)
             pin, pin_ok = epipolar.pin_scale(z1, zgood, cfg.vo_scene_depth)
             return delta.R, delta.t, delta.success, pin, pin_ok
 
-        R, t, ok, pins, pin_oks = jax.vmap(pose_one)(prev, cur, m, keys)
+        R, t, ok, pins, pin_oks = jax.vmap(pose_one)(
+            prev, cur, m, keys,
+            gyro_R.reshape(s * c, 3, 3), gyro_ok.reshape(s * c))
         reshape = lambda x: x.reshape(s, c, *x.shape[1:])
         return (reshape(R), reshape(t), reshape(ok), reshape(pins),
                 reshape(pin_oks))
@@ -82,7 +105,7 @@ def make_multi_chunk_frontend(cfg: PipelineConfig, mesh: Mesh | None):
     if mesh is None:
         return jax.jit(frontend)
     data = NamedSharding(mesh, P("data"))
-    return jax.jit(frontend, in_shardings=(data, data),
+    return jax.jit(frontend, in_shardings=(data, data, data, data),
                    out_shardings=(data,) * 5)
 
 
@@ -91,7 +114,14 @@ def run_scenes(scene_dirs: Sequence[str], config: PipelineConfig | None = None,
                verbose: bool = True) -> list:
     """Evaluate S sequences in lockstep; returns one result dict per
     sequence (ate/rpe/rot-rpe/frames). Sequences of unequal length are
-    padded by repeating their last frame (identity pairs, ignored)."""
+    padded by repeating their last frame (identity pairs, ignored).
+    If S is not a multiple of the mesh's data-axis size the batch is
+    padded with duplicates of the last sequence (results dropped), so
+    any sequence count works on any mesh.
+
+    All sequences must share camera intrinsics (one K/distortion is
+    baked into the compiled program); mixed rigs raise ValueError —
+    run them as separate invocations."""
     import dataclasses
 
     from aria_slam_tpu.eval import metrics
@@ -101,15 +131,31 @@ def run_scenes(scene_dirs: Sequence[str], config: PipelineConfig | None = None,
     datas = [euroc.load(d) for d in scene_dirs]
     s = len(datas)
     config = config or PipelineConfig()
+    for q in range(1, s):
+        if datas[q].camera != datas[0].camera:
+            raise ValueError(
+                f"multi_eval compiles ONE camera model for the whole "
+                f"batch, but {scene_dirs[q]!r} has different intrinsics "
+                f"than {scene_dirs[0]!r} ({datas[q].camera} vs "
+                f"{datas[0].camera}); evaluate differing rigs in "
+                f"separate runs")
     config = dataclasses.replace(config, camera=datas[0].camera)
     n_frames = max(len(d.image_paths) for d in datas)
     frontend = make_multi_chunk_frontend(config, mesh)
     key = jax.random.key(seed)
 
+    # pad the sequence axis to the mesh's data size (P("data") requires
+    # divisibility); padded slots recompute the last sequence, discarded
+    if mesh is not None:
+        n_data = mesh.shape["data"]
+        datas = datas + [datas[-1]] * ((-s) % n_data)
+    sp = len(datas)
+
     use_gyro = (config.gyro_chain_rotation
                 and all(len(d.imu_ts) for d in datas))
     T = [np.eye(4, dtype=np.float32) for _ in range(s)]
-    trajs = [[(d.image_ts[0], np.eye(4, dtype=np.float32))] for d in datas]
+    trajs = [[(d.image_ts[0], np.eye(4, dtype=np.float32))]
+             for d in datas[:s]]
 
     k = 0
     while k + 1 < n_frames:
@@ -122,25 +168,33 @@ def run_scenes(scene_dirs: Sequence[str], config: PipelineConfig | None = None,
                 d.image_paths[min(i, len(d.image_paths) - 1)])
                 for i in idxs])
             for d in datas])  # (S, C+1, H, W)
+        ts_all = [[d.image_ts[min(i, len(d.image_paths) - 1)] for i in idxs]
+                  for d in datas]
+        gRs = np.tile(np.eye(3, dtype=np.float32), (sp, chunk, 1, 1))
+        goks = np.zeros((sp, chunk), bool)
+        if use_gyro:
+            for q, d in enumerate(datas):
+                gRs[q], goks[q] = gyro_prior.pair_rotations(
+                    d.imu_ts, d.imu_gyro, ts_all[q], R_cam_imu=d.R_cam_imu)
         key, sub = jax.random.split(key)
-        keys = jax.random.split(sub, s * chunk)
+        keys = jax.random.split(sub, sp * chunk)
         R, t, ok, pins, pin_oks = jax.tree_util.tree_map(
-            np.asarray, frontend(jnp.asarray(frames), keys))
+            np.asarray, frontend(jnp.asarray(frames), keys,
+                                 jnp.asarray(gRs), jnp.asarray(goks)))
 
-        for q, d in enumerate(datas):
-            ts = [d.image_ts[min(i, len(d.image_paths) - 1)] for i in idxs]
-            gR = gok = None
-            if use_gyro:
-                gR, gok = gyro_prior.pair_rotations(
-                    d.imu_ts, d.imu_gyro, ts, R_cam_imu=d.R_cam_imu)
+        for q in range(s):
+            d, ts = datas[q], ts_all[q]
             for i in range(chunk):
                 fi = idxs[i + 1]
                 if fi >= len(d.image_paths) or idxs[i] == idxs[i + 1]:
                     continue  # padding
-                has_g = use_gyro and bool(gok[i])
+                # R/t/ok are already gyro-fused device-side; a pair that
+                # failed even the gyro-seeded re-solve still chains the
+                # gyro rotation alone (same fallback as eval/chunked.py)
+                has_g = use_gyro and bool(goks[q, i])
                 if ok[q, i] or has_g:
                     Tcp = np.eye(4, dtype=np.float32)
-                    Tcp[:3, :3] = (gR[i] if has_g else R[q, i])
+                    Tcp[:3, :3] = R[q, i] if ok[q, i] else gRs[q, i]
                     if ok[q, i] and pin_oks[q, i]:
                         Tcp[:3, 3] = t[q, i] * pins[q, i]
                     rel = np.linalg.inv(Tcp).astype(np.float32)
@@ -153,7 +207,8 @@ def run_scenes(scene_dirs: Sequence[str], config: PipelineConfig | None = None,
             print(f"[{k + 1}/{n_frames}] x{s} sequences", flush=True)
 
     results = []
-    for q, d in enumerate(datas):
+    for q in range(s):
+        d = datas[q]
         est_ts = np.array([tt for tt, _ in trajs[q]])
         est = np.array([TT[:3, 3] for _, TT in trajs[q]])
         gt = []

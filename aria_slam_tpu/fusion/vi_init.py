@@ -120,8 +120,14 @@ def preintegrate_pairs(imu_ts, imu_accel, imu_gyro, frame_ts,
         if n < min_samples:
             continue
         close = imu_ts[hi - 1] < t1  # virtual sample at the frame time
-        n_use = min(n + int(close), max_samples)
-        n_real = min(n, n_use)
+        if n + int(close) > max_samples:
+            # a partial integral paired with the FULL VO increment
+            # would bias the solved scale; drop the pair instead of
+            # silently truncating (frame gaps > max_samples/rate —
+            # e.g. unreadable-image skips — land here)
+            continue
+        n_use = n + int(close)
+        n_real = n
         ts_pad[i, :n_real] = imu_ts[lo:lo + n_real] - t_base
         a_pad[i, :n_real] = imu_accel[lo:lo + n_real]
         w_pad[i, :n_real] = imu_gyro[lo:lo + n_real]

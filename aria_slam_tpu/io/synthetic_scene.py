@@ -283,7 +283,7 @@ def generate(
                 img = np.where(out[1] > 0, out[0], img)
                 bb = project_box(cam, corners, R, pos)
                 if bb is not None:
-                    ts_ns_ = 1_400_000_000_000_000_000 + int(round(t * 1e9))
+                    ts_ns_ = t0_ns + int(round(t * 1e9))
                     box_rows.append(
                         f"{ts_ns_},{bb[0]:.1f},{bb[1]:.1f},"
                         f"{bb[2]:.1f},{bb[3]:.1f}")

@@ -461,8 +461,10 @@ class SlamPipeline:
         # rebase the RUNNING pose on the optimized graph. In pipelined
         # mode frames dispatched after this loop's query frame already
         # exist — adopt the LATEST node's optimized pose, not the
-        # (stale) query node's.
-        latest = (len(self.trajectory) + len(self._pending)
+        # (stale) query node's. At this point the popped frame is in
+        # neither trajectory nor _pending, so dispatched frames =
+        # len(trajectory) + len(_pending) + 1 (nodes are 1-based).
+        latest = (len(self.trajectory) + len(self._pending) + 1
                   if self._lazy else cur)
         new_pose = pose_graph.get_pose(g, latest)
         self.state = self.state.replace(graph=g, pose=new_pose)

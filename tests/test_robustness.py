@@ -115,12 +115,19 @@ def test_chunked_snapshot_resume_matches_straight_run(tmp_path_factory,
 
     first = ChunkedSlam(CFG, chunk=16)
     first.process_chunk(*c1, imu_window=imu_window)
+    # the consensus history gates when a scale correction COMMITS; this
+    # 33-frame scene never fills the estimator window, so force a
+    # non-empty history to prove it round-trips (review finding: a
+    # restore that drops it can commit on a single marginal solve)
+    assert first._scale_est is not None
+    first._scale_est._hist = [(0.1, 0.3), (-0.05, 0.2)]
     snap = str(tmp_path / "state.npz")
     first.snapshot(snap)
 
     resumed = ChunkedSlam(CFG, chunk=16)
     resumed.restore(snap)
     assert resumed.frame_count == first.frame_count
+    assert resumed._scale_est._hist == first._scale_est._hist
     resumed.process_chunk(*c2, imu_window=imu_window)
     resumed.finalize()
 
