@@ -240,13 +240,20 @@ def _loop_scale(delta, xy_q, xy_t, ok, K, scale_mode, scene_depth,
                 depths, depth_mask, depth_scale, scale_corr=1.0):
     """Metric scale for a loop edge's translation.
 
-    scale_mode="propagate" with depth args: ratio the loop pair's
+    Any metric mode with depth args: ratio the loop pair's
     current-frame depths against the odometry chain's unit depths of the
     SAME keypoint slots and carry the chain's running scale — the loop
-    edge lands in exactly the odometry frame's metric scale. Falls back
-    to scene-depth pinning when too few slots are shared.
-    scale_mode="median_depth": scene-depth pinning (same statistic the
-    odometry pin uses). "unit": |t| = 1 (reference parity).
+    edge lands in exactly the odometry frame's LOCAL metric. This now
+    applies in "median_depth" mode too (not just "propagate"): per-pair
+    median-depth pins carry scene-dependent bias that varies with
+    viewpoint on layered scenes, so a loop edge pinned independently
+    can be metrically inconsistent with the chain edges around its
+    endpoints. On the low-res rotloop A/B the two paths tie exactly —
+    genuine revisits sit at near-zero baseline, where the parallax
+    t-weight already suppresses the translation — so this is a
+    consistency fix, not a measured accuracy lever. Falls back to
+    scene-depth pinning when too few slots are shared.
+    "unit": |t| = 1 (reference parity).
     scale_corr: the odometry chain's IMU metric correction
     (fusion/vi_init) — multiplies pin-derived scales so loop edges land
     in the SAME corrected metric as the chain (depth_scale-derived
@@ -256,7 +263,7 @@ def _loop_scale(delta, xy_q, xy_t, ok, K, scale_mode, scene_depth,
     z1, _, good = epipolar.pair_depths(delta, xy_q, xy_t, ok, K)
     pin, _ = epipolar.pin_scale(z1, good, scene_depth)
     pin = pin * scale_corr
-    if scale_mode == "propagate" and depths is not None:
+    if depths is not None:
         ratio, cnt = epipolar.geomean_ratio(depths, z1, good & depth_mask)
         s = jnp.where(cnt >= 10, depth_scale * ratio, pin)
     else:

@@ -205,6 +205,57 @@ def test_zero_baseline_loop_is_rotation_only():
     assert float(twt) < 0.1, f"zero-baseline t_weight {float(twt):.2f}"
 
 
+def test_loop_scale_uses_odometry_metric_when_slots_shared():
+    """_loop_scale in a metric mode with odometry depths supplied must
+    land the loop translation in the chain's LOCAL metric
+    (depth_scale * geomean(z_odo / z_loop)), not the pair's own
+    scene-depth pin — per-pair pins carry viewpoint-dependent bias on
+    layered scenes. Scene at true depth ~3 with an odometry metric
+    scale of 0.9: the pin (which forces median depth to 4.0) and the
+    ratio path disagree, and the ratio path must win."""
+    from aria_slam_tpu.ops import epipolar
+
+    rng = np.random.default_rng(0)
+    n = 128
+    P1 = rng.uniform([-2, -1.5, 2.5], [2, 1.5, 3.5], (n, 3))
+    t_true = np.array([0.4, 0.0, 0.0])
+    P2 = P1 - t_true
+    kk = np.asarray(K)
+    uv1 = P1[:, :2] / P1[:, 2:3] * [kk[0, 0], kk[1, 1]] + [kk[0, 2], kk[1, 2]]
+    uv2 = P2[:, :2] / P2[:, 2:3] * [kk[0, 0], kk[1, 1]] + [kk[0, 2], kk[1, 2]]
+    uv1 = jnp.asarray(uv1, jnp.float32)
+    uv2 = jnp.asarray(uv2, jnp.float32)
+    ok = jnp.ones((n,), bool)
+    delta = epipolar.estimate_relative_pose(
+        uv1, uv2, ok, K, RS, jax.random.key(0))
+    assert bool(delta.success)
+    z1, _, good = epipolar.pair_depths(delta, uv1, uv2, ok, K)
+
+    # odometry chain: same slots, unit depths == loop unit depths,
+    # metric scale 0.9 -> the loop edge must come out at |t| = 0.9
+    t_ratio = loop_closure._loop_scale(
+        delta, uv1, uv2, ok, K, "median_depth", 4.0,
+        depths=z1, depth_mask=good, depth_scale=jnp.asarray(0.9))
+    np.testing.assert_allclose(
+        float(jnp.linalg.norm(t_ratio)), 0.9, rtol=1e-3)
+
+    # no odometry depths -> scene-depth pin (median z -> 4.0)
+    t_pin = loop_closure._loop_scale(
+        delta, uv1, uv2, ok, K, "median_depth", 4.0,
+        depths=None, depth_mask=None, depth_scale=None)
+    zmed = float(jnp.median(jnp.where(good, z1, jnp.nan)))
+    assert abs(float(jnp.linalg.norm(t_pin)) - 4.0 / zmed) < 0.05
+
+    # too few shared slots -> falls back to the pin
+    few = good & (jnp.arange(n) < 5)
+    t_few = loop_closure._loop_scale(
+        delta, uv1, uv2, ok, K, "median_depth", 4.0,
+        depths=z1, depth_mask=few, depth_scale=jnp.asarray(0.9))
+    np.testing.assert_allclose(
+        float(jnp.linalg.norm(t_few)), float(jnp.linalg.norm(t_pin)),
+        rtol=1e-5)
+
+
 def test_ring_buffer_eviction():
     small = LoopClosureConfig(max_keyframes=4)
     db = keyframe_db.init_db(small, ORB)
