@@ -15,9 +15,22 @@ Expected orderings (asserted by tests/test_accuracy.py on a smaller
 scene, recorded in BASELINE.md by this script):
   ate(vio fused) <= ate(vo) and ate(vio_lc) <= ate(vio).
 
+--excited runs the OTHER fusion benchmark: the default rotloop's 20 s
+period peaks at ~0.2 m/s^2, where monocular+IMU scale is near-
+unobservable (the consensus gate correctly refuses to commit, so
+vio == vo on translation there — physics, not a missing feature). The
+excited variant shortens the period to 10 s (~0.8 m/s^2, MH-class
+excitation) and plants a deliberately wrong 6 m depth prior on the 4 m
+scene; the accelerometer alignment must recover the metric
+(umeyama_scale -> 1) and strictly beat the prior-pinned run on
+scale-fixed ATE — the H08 capability (fusion improves translation,
+reference docs/milestones/H08_SENSOR_FUSION_AUDIT.md:726-729) on a
+full-res benchmark. Low-res twin: tests/test_imu_scale.py.
+
 Usage:
     python -m aria_slam_tpu.eval.accuracy_benchmark [--frames 240]
         [--chunk 16] [--online] [--occluder] [--out DIR] [--full-res]
+        [--excited]
 """
 
 from __future__ import annotations
@@ -83,6 +96,29 @@ def run_benchmark(scene_dir: str, cfg: PipelineConfig, chunk: int,
     return report
 
 
+def run_excited(scene_dir: str, cfg: PipelineConfig, chunk: int,
+                out_root: str, verbose: bool = True) -> dict:
+    """Wrong-prior fusion benchmark: prior-pinned scale vs the
+    accelerometer alignment (fusion/vi_init), scale metrics out."""
+    from aria_slam_tpu.eval import euroc_eval
+
+    report = {}
+    variants = {
+        "prior": dataclasses.replace(cfg, imu_metric_scale=False),
+        "imu": dataclasses.replace(cfg, imu_metric_scale=True),
+    }
+    for name, vcfg in variants.items():
+        res = euroc_eval.run(scene_dir, out_dir=os.path.join(out_root, name),
+                             config=vcfg, verbose=False, chunk=chunk)
+        report[name] = {
+            k: (round(float(v), 4) if isinstance(v, float) else v)
+            for k, v in res.items()
+        }
+        if verbose:
+            print(f"[{name}] {json.dumps(report[name])}", flush=True)
+    return report
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--frames", type=int, default=240)
@@ -92,6 +128,9 @@ def main():
     ap.add_argument("--occluder", action="store_true")
     ap.add_argument("--full-res", action="store_true",
                     help="752x480 / 2000 features (TPU-sized)")
+    ap.add_argument("--excited", action="store_true",
+                    help="high-excitation wrong-prior fusion benchmark "
+                    "(see module docstring)")
     ap.add_argument("--out", default="/tmp/accuracy_benchmark")
     ap.add_argument("--scene", default=None,
                     help="reuse an existing generated scene dir")
@@ -100,14 +139,40 @@ def main():
     from aria_slam_tpu.io import synthetic_scene
 
     cfg = benchmark_config(args.full_res, args.frames)
+    period = 10.0 if args.excited else 20.0
     scene = args.scene or os.path.join(
         args.out, f"scene_{args.frames}{'_occ' if args.occluder else ''}"
-        f"{'_full' if args.full_res else ''}")
+        f"{'_full' if args.full_res else ''}"
+        f"{'_exc' if args.excited else ''}")
     if not os.path.exists(os.path.join(scene, "mav0")):
         synthetic_scene.generate(scene, num_frames=args.frames, fps=args.fps,
                                  cam=cfg.camera, depth=4.0, traj="rotloop",
-                                 occluder=args.occluder)
+                                 period=period, occluder=args.occluder)
         print(f"scene generated: {scene}", flush=True)
+
+    if args.excited:
+        cfg = dataclasses.replace(
+            cfg, vo_scene_depth=6.0,  # deliberately wrong (true depth 4)
+            enable_fusion=False, enable_loop_closure=False)
+        report = run_excited(scene, cfg, args.chunk, args.out)
+        report["meta"] = {
+            "frames": args.frames, "fps": args.fps, "chunk": args.chunk,
+            "full_res": args.full_res, "period_s": period,
+            "prior_depth_m": 6.0, "true_depth_m": 4.0,
+            "peak_accel_ms2": "~0.8 (10 s period, 2 m span)",
+        }
+        sp, si = report["prior"]["umeyama_scale"], report["imu"]["umeyama_scale"]
+        report["ordering"] = {
+            "imu_scale_closer_to_metric":
+                bool(abs(np.log(si)) < abs(np.log(sp))),
+            "imu_noscale_ate_strictly_better":
+                bool(report["imu"]["ate_noscale_rmse_m"]
+                     < report["prior"]["ate_noscale_rmse_m"]),
+        }
+        with open(os.path.join(args.out, "report.json"), "w") as f:
+            json.dump(report, f, indent=1)
+        print(json.dumps(report, indent=1))
+        return
 
     report = run_benchmark(scene, cfg, args.chunk, args.out)
     report["meta"] = {
