@@ -151,6 +151,9 @@ def main():
         print(f"scene generated: {scene}", flush=True)
 
     if args.excited:
+        if args.chunk <= 0:
+            ap.error("--excited requires chunked mode (the IMU scale "
+                     "estimator rides the chunked evaluator)")
         cfg = dataclasses.replace(
             cfg, vo_scene_depth=6.0,  # deliberately wrong (true depth 4)
             enable_fusion=False, enable_loop_closure=False)

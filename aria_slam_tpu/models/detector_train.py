@@ -21,7 +21,6 @@ noise) with:
 from __future__ import annotations
 
 import functools
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp
