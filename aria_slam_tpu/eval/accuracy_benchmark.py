@@ -29,8 +29,9 @@ full-res benchmark. Low-res twin: tests/test_imu_scale.py.
 
 Usage:
     python -m aria_slam_tpu.eval.accuracy_benchmark [--frames 240]
-        [--chunk 16] [--online] [--occluder] [--out DIR] [--full-res]
-        [--excited]
+        [--chunk 16] [--occluder] [--out DIR] [--full-res] [--excited]
+    (--chunk 0 runs the online per-frame pipeline; --excited needs
+    chunked mode, --chunk >= 2)
 """
 
 from __future__ import annotations
@@ -73,17 +74,11 @@ def benchmark_config(full_res: bool = False, frames: int = 240) -> PipelineConfi
     )
 
 
-def run_benchmark(scene_dir: str, cfg: PipelineConfig, chunk: int,
+def _run_variants(scene_dir: str, variants: dict, chunk: int,
                   out_root: str, verbose: bool = True) -> dict:
     from aria_slam_tpu.eval import euroc_eval
 
     report = {}
-    variants = {
-        "vo": dataclasses.replace(cfg, enable_fusion=False,
-                                  enable_loop_closure=False),
-        "vio": dataclasses.replace(cfg, enable_loop_closure=False),
-        "vio_lc": cfg,
-    }
     for name, vcfg in variants.items():
         res = euroc_eval.run(scene_dir, out_dir=os.path.join(out_root, name),
                              config=vcfg, verbose=False, chunk=chunk)
@@ -94,29 +89,26 @@ def run_benchmark(scene_dir: str, cfg: PipelineConfig, chunk: int,
         if verbose:
             print(f"[{name}] {json.dumps(report[name])}", flush=True)
     return report
+
+
+def run_benchmark(scene_dir: str, cfg: PipelineConfig, chunk: int,
+                  out_root: str, verbose: bool = True) -> dict:
+    return _run_variants(scene_dir, {
+        "vo": dataclasses.replace(cfg, enable_fusion=False,
+                                  enable_loop_closure=False),
+        "vio": dataclasses.replace(cfg, enable_loop_closure=False),
+        "vio_lc": cfg,
+    }, chunk, out_root, verbose)
 
 
 def run_excited(scene_dir: str, cfg: PipelineConfig, chunk: int,
                 out_root: str, verbose: bool = True) -> dict:
     """Wrong-prior fusion benchmark: prior-pinned scale vs the
     accelerometer alignment (fusion/vi_init), scale metrics out."""
-    from aria_slam_tpu.eval import euroc_eval
-
-    report = {}
-    variants = {
+    return _run_variants(scene_dir, {
         "prior": dataclasses.replace(cfg, imu_metric_scale=False),
         "imu": dataclasses.replace(cfg, imu_metric_scale=True),
-    }
-    for name, vcfg in variants.items():
-        res = euroc_eval.run(scene_dir, out_dir=os.path.join(out_root, name),
-                             config=vcfg, verbose=False, chunk=chunk)
-        report[name] = {
-            k: (round(float(v), 4) if isinstance(v, float) else v)
-            for k, v in res.items()
-        }
-        if verbose:
-            print(f"[{name}] {json.dumps(report[name])}", flush=True)
-    return report
+    }, chunk, out_root, verbose)
 
 
 def main():
@@ -138,6 +130,12 @@ def main():
 
     from aria_slam_tpu.io import synthetic_scene
 
+    if args.excited and args.chunk <= 1:
+        # euroc_eval treats chunk <= 1 as online per-frame mode, where
+        # the IMU scale estimator (ChunkedSlam-only) never runs
+        ap.error("--excited requires chunked mode (--chunk >= 2): the IMU "
+                 "scale estimator rides the chunked evaluator")
+
     cfg = benchmark_config(args.full_res, args.frames)
     period = 10.0 if args.excited else 20.0
     scene = args.scene or os.path.join(
@@ -151,9 +149,6 @@ def main():
         print(f"scene generated: {scene}", flush=True)
 
     if args.excited:
-        if args.chunk <= 0:
-            ap.error("--excited requires chunked mode (the IMU scale "
-                     "estimator rides the chunked evaluator)")
         cfg = dataclasses.replace(
             cfg, vo_scene_depth=6.0,  # deliberately wrong (true depth 4)
             enable_fusion=False, enable_loop_closure=False)
@@ -164,6 +159,12 @@ def main():
             "prior_depth_m": 6.0, "true_depth_m": 4.0,
             "peak_accel_ms2": "~0.8 (10 s period, 2 m span)",
         }
+        if "umeyama_scale" not in report["prior"]:
+            # scale metrics need >= 3 GT associations (euroc_eval emits
+            # them conditionally) — a --scene dir without ground truth
+            # cannot support the excited ordering checks
+            raise SystemExit("--excited needs a scene with ground truth "
+                             "(umeyama_scale missing from the evaluation)")
         sp, si = report["prior"]["umeyama_scale"], report["imu"]["umeyama_scale"]
         report["ordering"] = {
             "imu_scale_closer_to_metric":

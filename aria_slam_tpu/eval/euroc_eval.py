@@ -173,35 +173,13 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
         )
         fused_pos = np.asarray(fused_p)
 
-    # associate with ground truth by interpolation
-    gt_pos = []
-    gt_quat = []
-    keep = []
-    for i, t in enumerate(est_ts):
-        gt = euroc.interpolate_gt(data, t)
-        if gt is not None:
-            gt_pos.append(gt[0])
-            gt_quat.append(gt[1])
-            keep.append(i)
-    gt_pos = np.asarray(gt_pos)
+    # associate with ground truth and score (shared with multi_eval)
+    scores, gt_pos, keep = metrics.associate_and_score(
+        data, est_ts, np.stack([T for _, T in pipe.trajectory]))
     est_kept = est_pos[keep] if keep else est_pos[:0]
-
-    ate = metrics.ate_rmse(est_kept, gt_pos) if len(gt_pos) else float("nan")
-    rpe = metrics.rpe_rmse(est_kept, gt_pos) if len(gt_pos) else float("nan")
-    if len(gt_pos):
-        est_R = np.stack([pipe.trajectory[i][1][:3, :3] for i in keep])
-        # GT orientation is world-from-BODY (T_WB from
-        # state_groundtruth_estimate0) while the estimate is world-from-
-        # CAMERA; relative-rotation RPE is NOT invariant under
-        # conjugating one side by the constant cam-body extrinsic
-        # (EuRoC's cam0 T_BS is ~90 deg), so map the estimates into the
-        # body frame first: R_wb = R_wc @ R_cam_imu (x_cam = R_cam_imu
-        # x_body). Identity on synthetic scenes where body == camera.
-        est_R_body = est_R @ np.asarray(data.R_cam_imu, est_R.dtype)
-        rpe_rot = metrics.rpe_rot_rmse_deg(
-            est_R_body, metrics.quat_to_mat_np(np.asarray(gt_quat)))
-    else:
-        rpe_rot = float("nan")
+    ate = scores["ate_rmse_m"]
+    rpe = scores["rpe_rmse_m"]
+    rpe_rot = scores["rpe_rot_deg"]
     # median: robust to one-off mid-run compiles (e.g. the first loop
     # closure event compiling the verify/optimize programs)
     mean_frame_ms = float(np.median(frame_times[1:]) * 1000) if len(frame_times) > 1 else 0.0

@@ -71,6 +71,56 @@ def quat_to_mat_np(q: np.ndarray) -> np.ndarray:
     return R
 
 
+def associate_and_score(data, est_ts, est_T, delta: int = 10):
+    """Associate an estimated trajectory with interpolated ground truth
+    and score it — the shared scoring path of euroc_eval and
+    multi_eval.
+
+    data: loaded dataset (io/euroc.py EurocData — provides
+    interpolate_gt inputs and the cam-body extrinsic R_cam_imu);
+    est_ts: (N,) timestamps; est_T: (N, 4, 4) world-from-camera poses.
+
+    Returns (scores, gt_pos, keep): scores = {ate_rmse_m, rpe_rmse_m,
+    rpe_rot_deg} (NaN when nothing associates), gt_pos the (K, 3)
+    associated GT positions, keep the matching estimate indices.
+
+    GT orientation is world-from-BODY (T_WB from
+    state_groundtruth_estimate0) while the estimate is world-from-
+    CAMERA; relative-rotation RPE is NOT invariant under conjugating
+    one side by the constant cam-body extrinsic (EuRoC's cam0 T_BS is
+    ~90 deg), so estimates are mapped into the body frame first:
+    R_wb = R_wc @ R_cam_imu (x_cam = R_cam_imu x_body). Identity on
+    synthetic scenes where body == camera.
+    """
+    from aria_slam_tpu.io import euroc  # local: keep module numpy-pure
+
+    est_T = np.asarray(est_T)
+    gt_pos, gt_quat, keep = [], [], []
+    for i, t in enumerate(est_ts):
+        gt = euroc.interpolate_gt(data, float(t))
+        if gt is not None:
+            gt_pos.append(gt[0])
+            gt_quat.append(gt[1])
+            keep.append(i)
+    gt_pos = np.asarray(gt_pos)
+    est_kept = est_T[keep, :3, 3] if keep else est_T[:0, :3, 3]
+    if len(gt_pos):
+        est_R_body = est_T[keep, :3, :3] @ np.asarray(
+            data.R_cam_imu, est_T.dtype)
+        rot = rpe_rot_rmse_deg(
+            est_R_body, quat_to_mat_np(np.asarray(gt_quat)), delta)
+    else:
+        rot = float("nan")
+    scores = {
+        "ate_rmse_m": (ate_rmse(est_kept, gt_pos)
+                       if len(gt_pos) else float("nan")),
+        "rpe_rmse_m": (rpe_rmse(est_kept, gt_pos, delta)
+                       if len(gt_pos) else float("nan")),
+        "rpe_rot_deg": rot,
+    }
+    return scores, gt_pos, keep
+
+
 def rpe_rot_rmse_deg(est_R: np.ndarray, gt_R: np.ndarray,
                      delta: int = 10) -> float:
     """Rotation relative-pose error RMSE (degrees) over a delta-frame

@@ -208,39 +208,10 @@ def run_scenes(scene_dirs: Sequence[str], config: PipelineConfig | None = None,
 
     results = []
     for q in range(s):
-        d = datas[q]
         est_ts = np.array([tt for tt, _ in trajs[q]])
-        est = np.array([TT[:3, 3] for _, TT in trajs[q]])
-        gt = []
-        gt_quat = []
-        keep = []
-        for i, tt in enumerate(est_ts):
-            g = euroc.interpolate_gt(d, tt)
-            if g is not None:
-                gt.append(g[0])
-                gt_quat.append(g[1])
-                keep.append(i)
-        gt = np.asarray(gt)
-        if len(gt):
-            # GT rotation is world-from-BODY; map estimates into the
-            # body frame before relative-rotation RPE (see
-            # euroc_eval.py — conjugation by the cam-body extrinsic is
-            # not a no-op for this metric)
-            est_R = np.stack([trajs[q][i][1][:3, :3] for i in keep])
-            est_R_body = est_R @ np.asarray(d.R_cam_imu, est_R.dtype)
-            rot = metrics.rpe_rot_rmse_deg(
-                est_R_body, metrics.quat_to_mat_np(np.asarray(gt_quat)))
-        else:
-            rot = float("nan")
-        res = {
-            "sequence": scene_dirs[q],
-            "frames": len(trajs[q]),
-            "ate_rmse_m": (metrics.ate_rmse(est[keep], gt)
-                           if len(gt) else float("nan")),
-            "rpe_rmse_m": (metrics.rpe_rmse(est[keep], gt)
-                           if len(gt) else float("nan")),
-            "rpe_rot_deg": rot,
-        }
+        scores, _, _ = metrics.associate_and_score(
+            datas[q], est_ts, np.stack([TT for _, TT in trajs[q]]))
+        res = {"sequence": scene_dirs[q], "frames": len(trajs[q]), **scores}
         results.append(res)
         if verbose:
             print({k_: (round(v, 4) if isinstance(v, float) else v)

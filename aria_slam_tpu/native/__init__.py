@@ -18,7 +18,11 @@ import threading
 import numpy as np
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_NATIVE_DIR = os.path.join(_ROOT, "native")
+# checkout layout: native/ sits beside the package. Wheel installs have
+# no native/ — they degrade to the pure-Python fallbacks unless
+# ARIA_SLAM_NATIVE_DIR points at a checkout's native directory.
+_NATIVE_DIR = os.environ.get(
+    "ARIA_SLAM_NATIVE_DIR", os.path.join(_ROOT, "native"))
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libariaslam_native.so")
 
 _lib = None

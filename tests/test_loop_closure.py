@@ -239,12 +239,17 @@ def test_loop_scale_uses_odometry_metric_when_slots_shared():
     np.testing.assert_allclose(
         float(jnp.linalg.norm(t_ratio)), 0.9, rtol=1e-3)
 
-    # no odometry depths -> scene-depth pin (median z -> 4.0)
+    # no odometry depths -> scene-depth pin (geomean depth -> 4.0);
+    # compute the expectation through pin_scale itself so the check is
+    # exact and mask-robust (a NaN-where+median expectation silently
+    # breaks the moment any point drops out of `good`)
     t_pin = loop_closure._loop_scale(
         delta, uv1, uv2, ok, K, "median_depth", 4.0,
         depths=None, depth_mask=None, depth_scale=None)
-    zmed = float(jnp.median(jnp.where(good, z1, jnp.nan)))
-    assert abs(float(jnp.linalg.norm(t_pin)) - 4.0 / zmed) < 0.05
+    s_pin, s_ok = epipolar.pin_scale(z1, good, 4.0)
+    assert bool(s_ok)
+    np.testing.assert_allclose(
+        float(jnp.linalg.norm(t_pin)), float(s_pin), rtol=1e-5)
 
     # too few shared slots -> falls back to the pin
     few = good & (jnp.arange(n) < 5)
