@@ -49,6 +49,55 @@ def test_rpe_rotation_exact_and_perturbed():
     assert 0.5 < r < 2.0
 
 
+def test_associate_and_score_conjugates_extrinsic():
+    """A perfect camera-frame estimate of a body-frame GT must score
+    rot-RPE ~ 0 — the metric is NOT invariant under the constant
+    cam-body extrinsic (EuRoC cam0 T_BS is ~90 deg), so the helper must
+    conjugate before differencing (ADVICE r2: euroc_eval.py)."""
+    from scipy.spatial.transform import Rotation
+
+    from aria_slam_tpu.io.euroc import EurocData
+
+    n = 30
+    ts = np.linspace(0.0, 3.0, n)
+    # non-commuting body rotations (varying axes) so an unconjugated
+    # comparison cannot accidentally cancel
+    rotvecs = np.stack([0.4 * np.sin(ts), 0.3 * ts, 0.2 * np.cos(ts)], 1)
+    R_wb = Rotation.from_rotvec(rotvecs)
+    pos = np.stack([ts, 0.1 * ts**2, np.zeros(n)], 1)
+    qxyzw = R_wb.as_quat()
+    gt_quat = np.concatenate([qxyzw[:, 3:4], qxyzw[:, :3]], 1)  # -> wxyz
+
+    # 90-deg extrinsic about x: x_cam = R_cam_imu x_body
+    R_ci = Rotation.from_rotvec([np.pi / 2, 0, 0]).as_matrix()
+    est_T = np.tile(np.eye(4), (n, 1, 1))
+    est_T[:, :3, :3] = R_wb.as_matrix() @ R_ci.T  # R_wc = R_wb R_ci^T
+    est_T[:, :3, 3] = pos
+
+    data = EurocData(
+        image_ts=ts, image_paths=[""] * n,
+        imu_ts=np.zeros(0), imu_gyro=np.zeros((0, 3)),
+        imu_accel=np.zeros((0, 3)),
+        gt_ts=ts, gt_pos=pos, gt_quat=gt_quat,
+        R_cam_imu=R_ci,
+    )
+    scores, gt_pos, keep = metrics.associate_and_score(data, ts, est_T)
+    assert len(keep) == n
+    assert scores["ate_rmse_m"] < 1e-6
+    assert scores["rpe_rot_deg"] < 1e-3
+
+    # teeth: skipping the conjugation (identity extrinsic on the same
+    # camera-frame estimates) must register a large rotation error
+    data_id = EurocData(
+        image_ts=ts, image_paths=[""] * n,
+        imu_ts=np.zeros(0), imu_gyro=np.zeros((0, 3)),
+        imu_accel=np.zeros((0, 3)),
+        gt_ts=ts, gt_pos=pos, gt_quat=gt_quat,
+    )
+    raw, _, _ = metrics.associate_and_score(data_id, ts, est_T)
+    assert raw["rpe_rot_deg"] > 1.0
+
+
 def test_quat_to_mat_np_matches_lie():
     import jax.numpy as jnp
 
