@@ -9,6 +9,13 @@ estimated_trajectory.txt (ts x y z), map.ply and trajectory.png.
 Usage:
     python -m aria_slam_tpu.eval.euroc_eval <dataset_path> [--out DIR]
         [--max-frames N] [--vo-only] [--no-loop] [--config cfg.yaml]
+        [--chunk N] [--profile DIR]
+
+--profile wraps the evaluation loop in a jax.profiler device trace
+(open with TensorBoard/xprof — the TPU answer to the reference's
+trtexec/nvprof timing, SURVEY.md §5.1); combine with --max-frames to
+bound the trace. Host-side per-stage timing (decode / gyro prior /
+device step) is always collected and reported as `stage_ms`.
 """
 
 from __future__ import annotations
@@ -26,13 +33,17 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 from aria_slam_tpu.config import PipelineConfig
 from aria_slam_tpu.eval import metrics
 from aria_slam_tpu.io import euroc
+from aria_slam_tpu.utils import profiling
 
 
 def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
         config: PipelineConfig | None = None, verbose: bool = True,
-        chunk: int = 0) -> dict:
+        chunk: int = 0, profile_dir: str | None = None) -> dict:
     """chunk = 0: online per-frame pipeline (reference parity).
-    chunk > 1: batched offline evaluation (TPU-native chunked windows)."""
+    chunk > 1: batched offline evaluation (TPU-native chunked windows).
+    profile_dir: capture a jax.profiler device trace of the loop."""
+    import contextlib
+
     from aria_slam_tpu.pipeline.slam_pipeline import SlamPipeline
 
     data = euroc.load(dataset_path)
@@ -47,6 +58,9 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
 
     t_start = time.perf_counter()
     frame_times = []
+    timer = profiling.StageTimer()
+    trace_cm = (profiling.device_trace(profile_dir) if profile_dir
+                else contextlib.nullcontext())
 
     if chunk and chunk > 1:
         from aria_slam_tpu.eval.chunked import ChunkedSlam
@@ -59,25 +73,28 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
 
         def load_chunk(k):
             nonlocal n_skipped
-            hi = min(k + chunk, n_frames - 1)
-            idxs = list(range(k, hi + 1))
-            if len(idxs) < chunk + 1:  # pad by repeating the last frame
-                idxs = idxs + [idxs[-1]] * (chunk + 1 - len(idxs))
-            frames = []
-            for i in idxs:
-                img = euroc.load_image_safe(data.image_paths[i])
-                if img is None:
-                    # unreadable frame: substitute the previous good one
-                    # (an identity pair the estimator shrugs off) — the
-                    # reference reader skips and continues,
-                    # EuRoCReader.cpp:287-291; aborting a whole run on
-                    # one bad file is the r2-flagged parity hole
-                    n_skipped += 1
-                    img = (frames[-1] if frames
-                           else np.zeros((data.camera.height,
-                                          data.camera.width), np.float32))
-                frames.append(img)
-            return np.stack(frames), [data.image_ts[i] for i in idxs], hi
+            with timer.stage("decode"):
+                hi = min(k + chunk, n_frames - 1)
+                idxs = list(range(k, hi + 1))
+                if len(idxs) < chunk + 1:  # pad by repeating the last frame
+                    idxs = idxs + [idxs[-1]] * (chunk + 1 - len(idxs))
+                frames = []
+                for i in idxs:
+                    img = euroc.load_image_safe(data.image_paths[i])
+                    if img is None:
+                        # unreadable frame: substitute the previous good
+                        # one (an identity pair the estimator shrugs
+                        # off) — the reference reader skips and
+                        # continues, EuRoCReader.cpp:287-291; aborting a
+                        # whole run on one bad file is the r2-flagged
+                        # parity hole
+                        n_skipped += 1
+                        img = (frames[-1] if frames
+                               else np.zeros((data.camera.height,
+                                              data.camera.width),
+                                             np.float32))
+                    frames.append(img)
+                return np.stack(frames), [data.image_ts[i] for i in idxs], hi
 
         # fixed chunk size => one compile; iterate with 1-frame overlap,
         # decoding the next chunk while the device runs the current one
@@ -91,23 +108,28 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
         pool = ThreadPoolExecutor(1)
         k = 0
         fut = pool.submit(load_chunk, k)
-        while k + 1 < n_frames:
-            frames, ts, hi = fut.result()
-            if hi + 1 < n_frames:
-                fut = pool.submit(load_chunk, hi)
-            gR = gok = None
-            if use_gyro:
-                gR, gok = gyro_prior.pair_rotations(
-                    data.imu_ts, data.imu_gyro, ts,
-                    R_cam_imu=data.R_cam_imu)
-            f0 = time.perf_counter()
-            pipe.process_chunk(frames, ts, gR, gok, imu_window=imu_window)
-            frame_times.append((time.perf_counter() - f0) / chunk)
-            k = hi
-            if verbose and (k + 1) % 96 < chunk:
-                fps = (k + 1) / (time.perf_counter() - t_start)
-                print(f"[{k + 1}/{n_frames}] fps={fps:.1f} "
-                      f"map={int(pipe.map_state.count)} loops={pipe.num_loops}")
+        with trace_cm:
+            while k + 1 < n_frames:
+                frames, ts, hi = fut.result()
+                if hi + 1 < n_frames:
+                    fut = pool.submit(load_chunk, hi)
+                gR = gok = None
+                if use_gyro:
+                    with timer.stage("gyro_prior"):
+                        gR, gok = gyro_prior.pair_rotations(
+                            data.imu_ts, data.imu_gyro, ts,
+                            R_cam_imu=data.R_cam_imu)
+                f0 = time.perf_counter()
+                with timer.stage("device_chunk"):
+                    pipe.process_chunk(frames, ts, gR, gok,
+                                       imu_window=imu_window)
+                frame_times.append((time.perf_counter() - f0) / chunk)
+                k = hi
+                if verbose and (k + 1) % 96 < chunk:
+                    fps = (k + 1) / (time.perf_counter() - t_start)
+                    print(f"[{k + 1}/{n_frames}] fps={fps:.1f} "
+                          f"map={int(pipe.map_state.count)} "
+                          f"loops={pipe.num_loops}")
         # drop duplicated padding trajectory entries
         pipe.trajectory = pipe.trajectory[:n_frames]
     else:
@@ -115,28 +137,33 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
         t_prev = -np.inf
         online_fused = [] if config.enable_fusion else None
         n_skipped = 0
-        for k in range(n_frames):
-            ts = data.image_ts[k]
-            img = euroc.load_image_safe(data.image_paths[k])
-            if img is None:  # skip-and-continue (EuRoCReader.cpp:287-291)
-                n_skipped += 1
-                continue
-            imu_t, imu_a, imu_g = euroc.imu_window(data, t_prev, ts)
-            for j in range(len(imu_t)):
-                pipe.process_imu(imu_t[j], imu_a[j], imu_g[j])
-            f0 = time.perf_counter()
-            pipe.process_frame(img, ts)
-            frame_times.append(time.perf_counter() - f0)
-            if online_fused is not None:
-                online_fused.append(np.asarray(pipe.last_output.fused_pos))
-            t_prev = ts
+        with trace_cm:
+            for k in range(n_frames):
+                ts = data.image_ts[k]
+                with timer.stage("decode"):
+                    img = euroc.load_image_safe(data.image_paths[k])
+                if img is None:  # skip-and-continue (EuRoCReader.cpp:287-291)
+                    n_skipped += 1
+                    continue
+                imu_t, imu_a, imu_g = euroc.imu_window(data, t_prev, ts)
+                with timer.stage("imu"):
+                    for j in range(len(imu_t)):
+                        pipe.process_imu(imu_t[j], imu_a[j], imu_g[j])
+                f0 = time.perf_counter()
+                with timer.stage("frame_step"):
+                    pipe.process_frame(img, ts)
+                frame_times.append(time.perf_counter() - f0)
+                if online_fused is not None:
+                    online_fused.append(np.asarray(pipe.last_output.fused_pos))
+                t_prev = ts
 
-            if verbose and (k + 1) % 100 == 0:
-                fps = (k + 1) / (time.perf_counter() - t_start)
-                print(
-                    f"[{k + 1}/{n_frames}] fps={fps:.1f} "
-                    f"map={int(pipe.state.map_state.count)} loops={pipe.num_loops}"
-                )
+                if verbose and (k + 1) % 100 == 0:
+                    fps = (k + 1) / (time.perf_counter() - t_start)
+                    print(
+                        f"[{k + 1}/{n_frames}] fps={fps:.1f} "
+                        f"map={int(pipe.state.map_state.count)} "
+                        f"loops={pipe.num_loops}"
+                    )
 
     pipe.finalize()
 
@@ -241,10 +268,20 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
         with open(os.path.join(out_dir, "fused_trajectory.txt"), "w") as f:
             for tt, p in zip(est_ts, fused_pos):
                 f.write(f"{tt:.9f} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")
+    results["stage_ms"] = {
+        name: round(s["mean_ms"], 3) for name, s in timer.summary().items()
+    }
     if verbose:
         print("==== results ====")
         for k_, v in results.items():
             print(f"  {k_}: {v}")
+        rep = timer.report()
+        if rep:
+            print("==== stage timing ====")
+            print(rep)
+        if profile_dir:
+            print(f"device trace written to {profile_dir} "
+                  "(open with TensorBoard/xprof)")
     return results
 
 
@@ -260,6 +297,10 @@ def main():
     ap.add_argument("--chunk", type=int, default=0,
                     help=">1: batched offline evaluation with this many "
                          "frame pairs per program call (TPU-native)")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler device trace of the "
+                         "evaluation loop into DIR (bound with "
+                         "--max-frames; open with TensorBoard/xprof)")
     args = ap.parse_args()
 
     cfg = PipelineConfig.from_yaml(args.config) if args.config else PipelineConfig()
@@ -269,7 +310,8 @@ def main():
         )
     if args.no_loop:
         cfg = dataclasses.replace(cfg, enable_loop_closure=False)
-    run(args.dataset, args.out, args.max_frames, cfg, chunk=args.chunk)
+    run(args.dataset, args.out, args.max_frames, cfg, chunk=args.chunk,
+        profile_dir=args.profile)
 
 
 if __name__ == "__main__":
