@@ -93,6 +93,12 @@ class ChunkedSlam:
             if detector is not None and cfg.enable_dynamic_filtering:
                 from aria_slam_tpu.ops import boxes as box_ops
 
+                # runs on all C+1 frames, so the overlap frame's
+                # detections are recomputed each chunk (1/(C+1) of
+                # detector cost — ~1% at the bench's chunk 96).
+                # Carrying the previous chunk's last mask would need an
+                # extra program input + snapshot state and an unmasked
+                # first frame; accepted tradeoff.
                 dets = detector(frames)
                 dyn_all = jax.vmap(box_ops.points_in_dynamic_boxes)(
                     feats.xy, dets)
@@ -107,30 +113,15 @@ class ChunkedSlam:
                 xy_prev = jnp.take_along_axis(pf.xy, mm.train_idx[:, None], 0)
                 valid = (mm.valid & pf.valid[mm.train_idx] & ~dyn_f
                          & ~dyn_p[mm.train_idx])
-                delta = epipolar.estimate_relative_pose(
-                    xy_prev, cf.xy, valid, K, cfg.ransac, k
-                )
                 # gyro fusion: with the pair rotation known from the
                 # integrated gyro (~30x better than two-view VO), the
                 # translation is a LINEAR re-estimate under that exact
                 # rotation — keeping (R, t) self-consistent for the
                 # depth/scale/track/mapping consumers below (a gyro R
                 # glued to the VO t breaks their reprojection gates)
-                t_g, mask_g = epipolar.translation_given_rotation(
-                    Rg, epipolar.normalize_points(xy_prev, K),
-                    epipolar.normalize_points(cf.xy, K),
-                    delta.inlier_mask.astype(jnp.float32),
-                    thresh_sq=in_thresh_sq, valid=valid)
-                ninl_g = jnp.sum(mask_g.astype(jnp.int32))
-                delta = delta.replace(
-                    R=jnp.where(has_g, Rg, delta.R),
-                    t=jnp.where(has_g, t_g, delta.t),
-                    inlier_mask=jnp.where(has_g, mask_g, delta.inlier_mask),
-                    num_inliers=jnp.where(has_g, ninl_g, delta.num_inliers),
-                    success=jnp.where(
-                        has_g, ninl_g > cfg.ransac.min_inliers,
-                        delta.success),
-                )
+                delta = epipolar.estimate_pose_gyro_fused(
+                    xy_prev, cf.xy, valid, K, cfg.ransac, k, Rg, has_g,
+                    in_thresh_sq)
                 # unit-|t| depths for the scale chain: z1 at the prev
                 # frame (correspondence slot = cur slot; scatter to prev
                 # slots for the frame shared with the PREVIOUS pair),

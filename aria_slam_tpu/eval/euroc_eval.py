@@ -69,10 +69,13 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
 
         pipe = ChunkedSlam(config, chunk=chunk)
 
-        n_skipped = 0
+        bad_idx: set = set()   # unreadable image indices (dedup: chunk
+        last_good = None       # overlaps decode boundary frames twice)
 
         def load_chunk(k):
-            nonlocal n_skipped
+            # single-worker pool => calls never overlap; the nonlocal
+            # last-good carry is race-free
+            nonlocal last_good
             with timer.stage("decode"):
                 hi = min(k + chunk, n_frames - 1)
                 idxs = list(range(k, hi + 1))
@@ -82,17 +85,22 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
                 for i in idxs:
                     img = euroc.load_image_safe(data.image_paths[i])
                     if img is None:
-                        # unreadable frame: substitute the previous good
+                        # unreadable frame: substitute the last good
                         # one (an identity pair the estimator shrugs
                         # off) — the reference reader skips and
                         # continues, EuRoCReader.cpp:287-291; aborting a
                         # whole run on one bad file is the r2-flagged
-                        # parity hole
-                        n_skipped += 1
+                        # parity hole. last_good persists across chunks
+                        # so a corrupt chunk-BOUNDARY frame reuses the
+                        # previous chunk's image instead of zeros.
+                        bad_idx.add(i)
                         img = (frames[-1] if frames
+                               else last_good if last_good is not None
                                else np.zeros((data.camera.height,
                                               data.camera.width),
                                              np.float32))
+                    else:
+                        last_good = img
                     frames.append(img)
                 return np.stack(frames), [data.image_ts[i] for i in idxs], hi
 
@@ -132,6 +140,7 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
                           f"loops={pipe.num_loops}")
         # drop duplicated padding trajectory entries
         pipe.trajectory = pipe.trajectory[:n_frames]
+        n_skipped = len(bad_idx)
     else:
         pipe = SlamPipeline(config)
         t_prev = -np.inf
@@ -167,8 +176,13 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
 
     pipe.finalize()
 
+    # degrade-don't-crash: every frame unreadable (e.g. a truncated
+    # dataset copy) leaves the trajectory empty — report NaN metrics
+    # instead of np.stack blowing up on an empty list
+    est_T = (np.stack([T for _, T in pipe.trajectory])
+             if pipe.trajectory else np.zeros((0, 4, 4), np.float32))
     est_ts = np.array([t for t, _ in pipe.trajectory])
-    est_pos = np.array([T[:3, 3] for _, T in pipe.trajectory])
+    est_pos = est_T[:, :3, 3]
 
     # chunked mode handles IMU post-hoc: fuse the 200 Hz stream with the
     # VO poses through the 15-state EKF over the whole sequence at once
@@ -180,7 +194,8 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
         # online mode: the EKF ran inside every frame step; its position
         # track IS the fused trajectory (mirrors chunked mode's export)
         fused_pos = np.stack(online_fused) if online_fused else None
-    if chunk and chunk > 1 and config.enable_fusion and len(data.imu_ts):
+    if (chunk and chunk > 1 and config.enable_fusion and len(data.imu_ts)
+            and len(est_ts)):
         import jax.numpy as jnp
 
         from aria_slam_tpu.fusion import ekf as ekf_mod
@@ -201,8 +216,7 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
         fused_pos = np.asarray(fused_p)
 
     # associate with ground truth and score (shared with multi_eval)
-    scores, gt_pos, keep = metrics.associate_and_score(
-        data, est_ts, np.stack([T for _, T in pipe.trajectory]))
+    scores, gt_pos, keep = metrics.associate_and_score(data, est_ts, est_T)
     est_kept = est_pos[keep] if keep else est_pos[:0]
     ate = scores["ate_rmse_m"]
     rpe = scores["rpe_rmse_m"]

@@ -75,21 +75,11 @@ def make_multi_chunk_frontend(cfg: PipelineConfig, mesh: Mesh | None):
         def pose_one(pf, cf, mm, k, Rg, has_g):
             xy_prev = jnp.take_along_axis(pf.xy, mm.train_idx[:, None], 0)
             valid = mm.valid & pf.valid[mm.train_idx]
-            delta = epipolar.estimate_relative_pose(
-                xy_prev, cf.xy, valid, K, cfg.ransac, k)
-            t_g, mask_g = epipolar.translation_given_rotation(
-                Rg, epipolar.normalize_points(xy_prev, K),
-                epipolar.normalize_points(cf.xy, K),
-                delta.inlier_mask.astype(jnp.float32),
-                thresh_sq=in_thresh_sq, valid=valid)
-            ninl_g = jnp.sum(mask_g.astype(jnp.int32))
-            delta = delta.replace(
-                R=jnp.where(has_g, Rg, delta.R),
-                t=jnp.where(has_g, t_g, delta.t),
-                inlier_mask=jnp.where(has_g, mask_g, delta.inlier_mask),
-                success=jnp.where(
-                    has_g, ninl_g > cfg.ransac.min_inliers, delta.success),
-            )
+            # identical fusion semantics to eval/chunked.py by
+            # construction (shared helper)
+            delta = epipolar.estimate_pose_gyro_fused(
+                xy_prev, cf.xy, valid, K, cfg.ransac, k, Rg, has_g,
+                in_thresh_sq)
             z1, _, zgood = epipolar.pair_depths(
                 delta, xy_prev, cf.xy, valid, K)
             pin, pin_ok = epipolar.pin_scale(z1, zgood, cfg.vo_scene_depth)
@@ -157,23 +147,50 @@ def run_scenes(scene_dirs: Sequence[str], config: PipelineConfig | None = None,
     trajs = [[(d.image_ts[0], np.eye(4, dtype=np.float32))]
              for d in datas[:s]]
 
+    last_good = [None] * s  # per-sequence decode fallback carry
+    n_bad = [0] * s
+
+    def _img(q, i):
+        # skip-and-continue parity for unreadable images
+        # (EuRoCReader.cpp:287-291): substitute the sequence's last
+        # good frame — an identity pair the estimator shrugs off
+        d = datas[q]
+        img = euroc.load_image_safe(
+            d.image_paths[min(i, len(d.image_paths) - 1)])
+        if img is None:
+            n_bad[q] += 1
+            if last_good[q] is None:
+                img = np.zeros((d.camera.height, d.camera.width),
+                               np.float32)
+            else:
+                img = last_good[q]
+        else:
+            last_good[q] = img
+        return img
+
     k = 0
     while k + 1 < n_frames:
         hi = min(k + chunk, n_frames - 1)
         idxs = list(range(k, hi + 1))
         if len(idxs) < chunk + 1:
             idxs += [idxs[-1]] * (chunk + 1 - len(idxs))
+        # decode + gyro-integrate the S REAL sequences only; mesh-pad
+        # slots replicate the last real sequence's arrays (their device
+        # results are discarded — repeating the host decode for them
+        # would multiply the host cost by sp/s for nothing)
         frames = np.stack([
-            np.stack([euroc.load_image(
-                d.image_paths[min(i, len(d.image_paths) - 1)])
-                for i in idxs])
-            for d in datas])  # (S, C+1, H, W)
-        ts_all = [[d.image_ts[min(i, len(d.image_paths) - 1)] for i in idxs]
-                  for d in datas]
+            np.stack([_img(q, i) for i in idxs])
+            for q in range(s)])  # (S, C+1, H, W)
+        if sp > s:
+            frames = np.concatenate(
+                [frames, np.repeat(frames[-1:], sp - s, axis=0)])
+        ts_all = [[datas[q].image_ts[min(i, len(datas[q].image_paths) - 1)]
+                   for i in idxs] for q in range(s)]
         gRs = np.tile(np.eye(3, dtype=np.float32), (sp, chunk, 1, 1))
         goks = np.zeros((sp, chunk), bool)
         if use_gyro:
-            for q, d in enumerate(datas):
+            for q in range(s):
+                d = datas[q]
                 gRs[q], goks[q] = gyro_prior.pair_rotations(
                     d.imu_ts, d.imu_gyro, ts_all[q], R_cam_imu=d.R_cam_imu)
         key, sub = jax.random.split(key)
@@ -211,7 +228,8 @@ def run_scenes(scene_dirs: Sequence[str], config: PipelineConfig | None = None,
         est_ts = np.array([tt for tt, _ in trajs[q]])
         scores, _, _ = metrics.associate_and_score(
             datas[q], est_ts, np.stack([TT for _, TT in trajs[q]]))
-        res = {"sequence": scene_dirs[q], "frames": len(trajs[q]), **scores}
+        res = {"sequence": scene_dirs[q], "frames": len(trajs[q]),
+               "skipped_images": n_bad[q], **scores}
         results.append(res)
         if verbose:
             print({k_: (round(v, 4) if isinstance(v, float) else v)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from aria_slam_tpu.config import EkfConfig
 from aria_slam_tpu.core import lie
@@ -206,7 +207,22 @@ def run_sequence(imu_t, imu_accel, imu_gyro, vo_t, vo_R, vo_t_pos, cfg: EkfConfi
     VO timestamp.
 
     imu_*: (M, ...), vo_*: (V, ...). All float32, times in seconds.
+
+    PRECONDITION: imu_t and vo_t must each be non-decreasing — the
+    merge below is two binary searches over already-sorted streams, and
+    an unsorted input silently produces a corrupted event order (slots
+    collide, others re-process element 0). io/euroc.py sorts both
+    streams at load; checked here when called with concrete arrays.
     """
+    if not isinstance(imu_t, jax.core.Tracer):
+        for name, arr in (("imu_t", imu_t), ("vo_t", vo_t)):
+            a = np.asarray(arr)
+            if a.shape[0] > 1 and np.any(np.diff(a) < 0):
+                raise ValueError(
+                    f"ekf.run_sequence: {name} is not sorted "
+                    f"(first inversion at index "
+                    f"{int(np.argmax(np.diff(a) < 0))}); sort the "
+                    f"streams by timestamp first (io/euroc.py does)")
     m = imu_t.shape[0]
     v = vo_t.shape[0]
     # build merged stream: tag 0 = IMU, 1 = VO

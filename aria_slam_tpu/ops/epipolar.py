@@ -480,3 +480,34 @@ def gather_correspondences(f1_xy, f2_xy, matches: Matches):
     xy1 = f1_xy[matches.query_idx]
     xy2 = f2_xy[matches.train_idx]
     return xy1, xy2, matches.valid
+
+
+def estimate_pose_gyro_fused(xy_prev, xy_cur, valid, K, cfg: RansacConfig,
+                             key, gyro_R, has_gyro,
+                             in_thresh_sq) -> PoseDelta:
+    """RANSAC two-view pose, then — where an integrated-gyro rotation
+    is available (has_gyro) — replace the rotation with the gyro's and
+    linearly re-solve the translation under that exact rotation,
+    re-gating inliers with the Sampson threshold.
+
+    The single fusion semantics shared by eval/chunked.py and
+    eval/multi_eval.py (the single-sequence and data-parallel chunk
+    paths must fuse identically — they previously carried diverging
+    copies of this block). Solving t jointly with a rotation that is
+    then discarded corrupts the chained poses; see
+    translation_given_rotation.
+    """
+    delta = estimate_relative_pose(xy_prev, xy_cur, valid, K, cfg, key)
+    t_g, mask_g = translation_given_rotation(
+        gyro_R, normalize_points(xy_prev, K), normalize_points(xy_cur, K),
+        delta.inlier_mask.astype(jnp.float32),
+        thresh_sq=in_thresh_sq, valid=valid)
+    ninl_g = jnp.sum(mask_g.astype(jnp.int32))
+    return delta.replace(
+        R=jnp.where(has_gyro, gyro_R, delta.R),
+        t=jnp.where(has_gyro, t_g, delta.t),
+        inlier_mask=jnp.where(has_gyro, mask_g, delta.inlier_mask),
+        num_inliers=jnp.where(has_gyro, ninl_g, delta.num_inliers),
+        success=jnp.where(
+            has_gyro, ninl_g > cfg.min_inliers, delta.success),
+    )

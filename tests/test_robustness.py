@@ -68,6 +68,42 @@ def test_unreadable_image_skipped_chunked(tmp_path_factory):
     assert res["ate_rmse_m"] < 0.5
 
 
+def test_all_images_unreadable_degrades_to_nan(tmp_path_factory):
+    """Every frame unreadable (e.g. a truncated dataset copy): the
+    online-mode run must report NaN metrics and the skip count, not
+    crash on an empty trajectory (np.stack of an empty list was a
+    regression in the r3 scoring refactor)."""
+    from aria_slam_tpu.eval import euroc_eval
+    from aria_slam_tpu.io import euroc
+
+    scene = _make_scene(tmp_path_factory, "scene_allbad")
+    data = euroc.load(scene)
+    for p in data.image_paths:
+        with open(p, "wb") as f:
+            f.write(b"corrupt")
+    res = euroc_eval.run(scene, out_dir="/tmp/rob_allbad", config=CFG,
+                         verbose=False, chunk=0)
+    assert res["skipped_images"] == len(data.image_paths)
+    assert np.isnan(res["ate_rmse_m"])
+
+
+def test_ekf_run_sequence_rejects_unsorted_streams():
+    """The binary-search merge requires sorted inputs; an unsorted
+    stream must raise, not silently corrupt the event order."""
+    import jax.numpy as jnp
+
+    from aria_slam_tpu.config import EkfConfig
+    from aria_slam_tpu.fusion import ekf
+
+    imu_t = jnp.array([0.0, 0.2, 0.1, 0.3], jnp.float32)  # inversion
+    vo_t = jnp.array([0.15, 0.25], jnp.float32)
+    z3 = jnp.zeros((4, 3), jnp.float32)
+    vo_R = jnp.tile(jnp.eye(3, dtype=jnp.float32), (2, 1, 1))
+    vo_p = jnp.zeros((2, 3), jnp.float32)
+    with pytest.raises(ValueError, match="not sorted"):
+        ekf.run_sequence(imu_t, z3, z3, vo_t, vo_R, vo_p, EkfConfig())
+
+
 def test_photometric_stress_bounded(tmp_path_factory):
     """Noise + exposure drift + pan blur: accuracy may degrade but the
     front-end must not fall apart (gate ~2x a comfortable clean-scene
