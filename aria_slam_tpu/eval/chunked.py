@@ -60,6 +60,9 @@ class ChunkedSlam:
         def frontend(frames, zlast, mlast, key, gyro_R, gyro_ok):
             from aria_slam_tpu.ops.undistort import undistort_points
 
+            # frames arrive uint8 (4x cheaper H2D than f32 on this
+            # rig's relay); cast on device — exact for 0..255
+            frames = frames.astype(jnp.float32)
             feats = orb.extract_batch(frames, cfg.orb)
             # undistort keypoints once; all geometry downstream is pinhole
             feats = feats.replace(xy=undistort_points(feats.xy, cfg.camera))
@@ -443,7 +446,8 @@ class ChunkedSlam:
         (fusion/vi_init.ScaleEstimator) when cfg.imu_metric_scale."""
         cfg = self.cfg
         self._key, k1, k2 = jax.random.split(self._key, 3)
-        fr = jnp.asarray(frames, jnp.float32)
+        fr = jnp.asarray(frames)  # native dtype (uint8 from the EuRoC
+        # reader) — the frontend casts on device; see io/euroc.load_image
         c_pairs = frames.shape[0] - 1
         use_gyro = (cfg.gyro_chain_rotation and gyro_R is not None
                     and gyro_ok is not None)

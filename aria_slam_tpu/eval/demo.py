@@ -58,7 +58,7 @@ def run(video_path: str, headless: bool = True, detect: bool = False,
         ok, frame = cap.read()
         if not ok or (max_frames and n >= max_frames):
             break
-        gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY).astype(np.float32)
+        gray = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)  # uint8: cheap H2D
         t0 = time.perf_counter()
         pose = pipe.process_frame(gray, n / fps_in)
         dt = time.perf_counter() - t0

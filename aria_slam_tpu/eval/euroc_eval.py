@@ -98,7 +98,7 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
                                else last_good if last_good is not None
                                else np.zeros((data.camera.height,
                                               data.camera.width),
-                                             np.float32))
+                                             np.uint8))
                     else:
                         last_good = img
                     frames.append(img)

@@ -62,7 +62,7 @@ def make_frames(cfg: PipelineConfig, n: int, seed: int = 0):
     for k in range(n):
         pos, R = trajectory(k / 10.0, period=10.0)
         frames.append(render_frame(cfg.camera, tex, pos, R, depth=4.0,
-                                   layers=layers).astype(np.float32))
+                                   layers=layers))  # uint8: cheap H2D
     return frames
 
 

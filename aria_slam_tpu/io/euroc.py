@@ -158,13 +158,18 @@ def _load_camera(sensor_yaml: str) -> CameraConfig:
 
 
 def load_image(path: str) -> np.ndarray:
-    """Grayscale float32 (H, W) in [0, 255]."""
+    """Grayscale uint8 (H, W) in [0, 255].
+
+    uint8 on purpose: frames cross host->device as-is and every jitted
+    entry point casts to float32 on device as its first op (exact for
+    0..255) — on this rig's ~2-3 GB/s relay a float32 transfer would
+    quadruple the per-chunk H2D bytes for nothing."""
     import cv2
 
     img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
     if img is None:
         raise FileNotFoundError(path)
-    return img.astype(np.float32)
+    return img
 
 
 def load_image_safe(path: str) -> Optional[np.ndarray]:
@@ -179,7 +184,7 @@ def load_image_safe(path: str) -> Optional[np.ndarray]:
         img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
     except cv2.error:
         return None
-    return None if img is None else img.astype(np.float32)
+    return img
 
 
 def imu_window(data: EurocData, t_prev: float, t_now: float) -> Tuple[np.ndarray, ...]:

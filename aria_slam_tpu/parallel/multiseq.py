@@ -27,8 +27,9 @@ def batched_frontend(cfg: PipelineConfig):
     K = jnp.asarray(cfg.camera.K)
 
     def run(img1s, img2s, keys):
-        f1 = orb.extract_batch(img1s, cfg.orb)
-        f2 = orb.extract_batch(img2s, cfg.orb)
+        # images may arrive uint8 (cheaper H2D); cast on device
+        f1 = orb.extract_batch(img1s.astype(jnp.float32), cfg.orb)
+        f2 = orb.extract_batch(img2s.astype(jnp.float32), cfg.orb)
         m = match_ops.match_batched(f2, f1, cfg.matcher.ratio)
 
         def pose_one(f1_, f2_, m_, k):

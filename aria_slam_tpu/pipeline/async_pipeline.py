@@ -53,7 +53,7 @@ class AsyncSlamPipeline:
         it = self._items[item_id]
         if "bytes" in it:
             buf = np.frombuffer(it.pop("bytes"), np.uint8)
-            it["image"] = cv2.imdecode(buf, cv2.IMREAD_GRAYSCALE).astype(np.float32)
+            it["image"] = cv2.imdecode(buf, cv2.IMREAD_GRAYSCALE)  # uint8: cheap H2D
 
     def _dispatch(self, item_id: int):
         it = self._items[item_id]
@@ -74,7 +74,7 @@ class AsyncSlamPipeline:
         self._next_id += 1
         it = {"timestamp": timestamp}
         if image is not None:
-            it["image"] = np.asarray(image, np.float32)
+            it["image"] = np.asarray(image)  # native dtype; device casts
         else:
             it["bytes"] = raw_bytes
         self._items[item_id] = it

@@ -128,6 +128,9 @@ def make_frame_step(
 
     def step(state: FrameState, image: jnp.ndarray, imu_t, imu_acc, imu_gyr,
              imu_valid, ts: jnp.ndarray):
+        # image may arrive uint8 (4x cheaper H2D on this rig's relay);
+        # cast on device — exact for 0..255
+        image = image.astype(jnp.float32)
         key, k_ransac, k_loop = jax.random.split(state.key, 3)
 
         # ---- perception: ORB ∥ object detection (independent subgraphs)
@@ -151,18 +154,16 @@ def make_frame_step(
         num_matches = jnp.sum(m_valid.astype(jnp.int32))
         num_filtered = pre_filter - num_matches
 
-        # ---- epipolar VO (prev -> current motion)
+        # ---- epipolar VO (prev -> current motion), with gyro rotation
+        # fusion when enabled (parity with the chunked chain,
+        # eval/chunked.py — the SAME shared helper, so the online and
+        # chunked paths fuse identically): integrate the frame's IMU
+        # window into a rotation prior (~30x better than the two-view
+        # rotation) and re-solve the translation LINEARLY under that
+        # known rotation — keeping the pair self-consistent for every
+        # consumer below
         xy_cur = feats.xy[m.query_idx]
         xy_prev = state.prev_feats.xy[m.train_idx]
-        delta = epipolar.estimate_relative_pose(
-            xy_prev, xy_cur, m_valid, K, cfg.ransac, k_ransac
-        )
-
-        # ---- gyro rotation fusion (parity with the chunked chain,
-        # eval/chunked.py): integrate the frame's IMU window into a
-        # rotation prior (~30x better than the two-view rotation) and
-        # re-solve the translation LINEARLY under that known rotation —
-        # keeping the pair self-consistent for every consumer below
         if cfg.gyro_chain_rotation:
             prev_t = jnp.concatenate([state.prev_ts[None], imu_t[:-1]])
             dts = jnp.clip(imu_t - prev_t, 0.0, 0.05)
@@ -181,21 +182,13 @@ def make_frame_step(
             Rg = dR.T  # VO delta convention X_cur = R X_prev + t
             focal = 0.5 * (K[0, 0] + K[1, 1])
             thresh_sq = (cfg.ransac.inlier_threshold_px / focal) ** 2
-            t_g, mask_g = epipolar.translation_given_rotation(
-                Rg, epipolar.normalize_points(xy_prev, K),
-                epipolar.normalize_points(xy_cur, K),
-                delta.inlier_mask.astype(jnp.float32),
-                thresh_sq=thresh_sq, valid=m_valid)
-            ninl_g = jnp.sum(mask_g.astype(jnp.int32))
-            delta = delta.replace(
-                R=jnp.where(has_g, Rg, delta.R),
-                t=jnp.where(has_g, t_g, delta.t),
-                inlier_mask=jnp.where(has_g, mask_g, delta.inlier_mask),
-                num_inliers=jnp.where(has_g, ninl_g, delta.num_inliers),
-                success=jnp.where(has_g, ninl_g > cfg.ransac.min_inliers,
-                                  delta.success),
-            )
+            delta = epipolar.estimate_pose_gyro_fused(
+                xy_prev, xy_cur, m_valid, K, cfg.ransac, k_ransac,
+                Rg, has_g, thresh_sq)
         else:
+            delta = epipolar.estimate_relative_pose(
+                xy_prev, xy_cur, m_valid, K, cfg.ransac, k_ransac
+            )
             has_g = jnp.asarray(False)
 
         vo_ok = delta.success & state.prev_valid
@@ -395,7 +388,7 @@ class SlamPipeline:
     def process_frame(self, image: np.ndarray, timestamp: float) -> np.ndarray:
         ts = self._rel(timestamp)
         imu_t, imu_a, imu_g, imu_v = self._drain_imu(timestamp)
-        img = jnp.asarray(image, jnp.float32)
+        img = jnp.asarray(image)  # native dtype; the step casts on device
         self.state, out = self._step(
             self.state, img, jnp.asarray(imu_t), jnp.asarray(imu_a),
             jnp.asarray(imu_g), jnp.asarray(imu_v), jnp.asarray(ts, jnp.float32),
