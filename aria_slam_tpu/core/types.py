@@ -119,6 +119,13 @@ class KeyframeDB:
                             # keyframe's descriptors (place-recognition prefilter)
     frame_id: jnp.ndarray   # (N,) int32 — source frame index (-1 = empty)
     pose: jnp.ndarray       # (N, 4, 4) float32 — world-from-camera at insert
+    # covisibility adjacency over DB slots (parity: the reference
+    # KeyFrame declares covisible_keyframes, include/core/Types.hpp:42 —
+    # declared but never populated there; here temporal neighbors are
+    # linked on insert and accepted loop pairs via mark_covisible). A
+    # fixed (N, N) bool matrix instead of ragged id lists: slot rows
+    # clear on ring eviction, and neighborhood queries are one row read.
+    covis: jnp.ndarray      # (N, N) bool, symmetric
     size: jnp.ndarray       # () int32 — number of live entries
     head: jnp.ndarray       # () int32 — ring-buffer write cursor
 

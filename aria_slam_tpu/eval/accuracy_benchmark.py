@@ -21,11 +21,13 @@ unobservable (the consensus gate correctly refuses to commit, so
 vio == vo on translation there — physics, not a missing feature). The
 excited variant shortens the period to 10 s (~0.8 m/s^2, MH-class
 excitation) and plants a deliberately wrong 6 m depth prior on the 4 m
-scene; the accelerometer alignment must recover the metric
-(umeyama_scale -> 1) and strictly beat the prior-pinned run on
-scale-fixed ATE — the H08 capability (fusion improves translation,
-reference docs/milestones/H08_SENSOR_FUSION_AUDIT.md:726-729) on a
-full-res benchmark. Low-res twin: tests/test_imu_scale.py.
+scene, then runs vo (prior-pinned) / imu (scale estimator) / vio
+(scale + EKF); the accelerometer must recover the metric
+(umeyama_scale -> 1, |log s| < 5%) and STRICTLY beat the prior-pinned
+run on scale-fixed and raw ATE — must-improve gates, the H08
+capability (fusion improves translation, reference
+docs/milestones/H08_SENSOR_FUSION_AUDIT.md:726-729) on a full-res
+benchmark. Low-res twin: tests/test_imu_scale.py.
 
 Usage:
     python -m aria_slam_tpu.eval.accuracy_benchmark [--frames 240]
@@ -103,11 +105,24 @@ def run_benchmark(scene_dir: str, cfg: PipelineConfig, chunk: int,
 
 def run_excited(scene_dir: str, cfg: PipelineConfig, chunk: int,
                 out_root: str, verbose: bool = True) -> dict:
-    """Wrong-prior fusion benchmark: prior-pinned scale vs the
-    accelerometer alignment (fusion/vi_init), scale metrics out."""
+    """Wrong-prior fusion benchmark on the EXCITED scene — the
+    configuration where the accelerometer must PAY (VERDICT r3 #2):
+
+      vo  : fusion off, scale estimator off — the wrong 6 m prior pins
+            the metric (visual-only baseline)
+      imu : scale estimator only (the vi_init ablation)
+      vio : scale estimator + 15-state EKF (the full fusion stack)
+
+    Gates on this scene are MUST-IMPROVE, not no-harm: with ~0.8 m/s^2
+    excitation the scale is observable, so physics requires the
+    IMU-corrected runs to beat the wrong prior outright."""
     return _run_variants(scene_dir, {
-        "prior": dataclasses.replace(cfg, imu_metric_scale=False),
-        "imu": dataclasses.replace(cfg, imu_metric_scale=True),
+        "vo": dataclasses.replace(cfg, enable_fusion=False,
+                                  imu_metric_scale=False),
+        "imu": dataclasses.replace(cfg, enable_fusion=False,
+                                   imu_metric_scale=True),
+        "vio": dataclasses.replace(cfg, enable_fusion=True,
+                                   imu_metric_scale=True),
     }, chunk, out_root, verbose)
 
 
@@ -151,27 +166,45 @@ def main():
     if args.excited:
         cfg = dataclasses.replace(
             cfg, vo_scene_depth=6.0,  # deliberately wrong (true depth 4)
-            enable_fusion=False, enable_loop_closure=False)
+            enable_loop_closure=False)
         report = run_excited(scene, cfg, args.chunk, args.out)
         report["meta"] = {
             "frames": args.frames, "fps": args.fps, "chunk": args.chunk,
             "full_res": args.full_res, "period_s": period,
             "prior_depth_m": 6.0, "true_depth_m": 4.0,
             "peak_accel_ms2": "~0.8 (10 s period, 2 m span)",
+            "gates": "MUST-IMPROVE (excitation above the vi_init commit "
+                     "threshold makes scale observable — no-harm would "
+                     "be sandbagging here; the rotloop benchmark keeps "
+                     "no-harm because its ~0.1 m/s^2 excitation leaves "
+                     "scale near-unobservable)",
         }
-        if "umeyama_scale" not in report["prior"]:
+        if "umeyama_scale" not in report["vo"]:
             # scale metrics need >= 3 GT associations (euroc_eval emits
             # them conditionally) — a --scene dir without ground truth
             # cannot support the excited ordering checks
             raise SystemExit("--excited needs a scene with ground truth "
                              "(umeyama_scale missing from the evaluation)")
-        sp, si = report["prior"]["umeyama_scale"], report["imu"]["umeyama_scale"]
+        sp = report["vo"]["umeyama_scale"]
+        si = report["imu"]["umeyama_scale"]
+        sv = report["vio"]["umeyama_scale"]
         report["ordering"] = {
+            # the vi_init ablation: accelerometer beats the wrong prior
             "imu_scale_closer_to_metric":
                 bool(abs(np.log(si)) < abs(np.log(sp))),
             "imu_noscale_ate_strictly_better":
                 bool(report["imu"]["ate_noscale_rmse_m"]
-                     < report["prior"]["ate_noscale_rmse_m"]),
+                     < report["vo"]["ate_noscale_rmse_m"]),
+            # the full VIO stack, gated MUST-IMPROVE (VERDICT r3 #2):
+            # metric recovered to within 5% and scale-fixed ATE strictly
+            # below the visual-only wrong-prior baseline
+            "vio_scale_metric_5pct": bool(abs(np.log(sv)) < 0.05),
+            "vio_noscale_ate_strictly_better":
+                bool(report["vio"]["ate_noscale_rmse_m"]
+                     < report["vo"]["ate_noscale_rmse_m"]),
+            "vio_raw_ate_strictly_better":
+                bool(report["vio"]["ate_raw_rmse_m"]
+                     < report["vo"]["ate_raw_rmse_m"]),
         }
         with open(os.path.join(args.out, "report.json"), "w") as f:
             json.dump(report, f, indent=1)
@@ -187,13 +220,26 @@ def main():
     # tolerance margins match tests/test_accuracy.py: with a polished
     # VO at ~2.5% of path length, EKF smoothing and loop edges move ATE
     # by sub-centimeter amounts — "not worse than" is the meaningful
-    # invariant, strict < would flap on noise
+    # invariant HERE because the rotloop's ~0.1 m/s^2 excitation leaves
+    # monocular+IMU scale near-unobservable (must-improve would be
+    # unphysical); the --excited benchmark carries the must-improve
+    # gates where physics supports them (VERDICT r3 #2)
     ate_vo = report["vo"]["ate_rmse_m"]
+    s_vio = report["vio"].get("umeyama_scale", float("nan"))
+    s_lc = report["vio_lc"].get("umeyama_scale", float("nan"))
     ordering = {
         "vio_fused_not_worse": report["vio"].get("ate_fused_rmse_m", 1e9)
         <= ate_vo * 1.10 + 0.02,
         "lc_not_worse": report["vio_lc"]["ate_rmse_m"]
         <= report["vio"]["ate_rmse_m"] * 1.15 + 0.02,
+        # metric-scale integrity under loop closure (VERDICT r3 #3):
+        # loop edges must not drag the global scale (r3: 1.186 -> 1.334)
+        # or degrade the scale-fixed error
+        "lc_scale_within_5pct_of_vio":
+            bool(abs(np.log(s_lc / s_vio)) < 0.05),
+        "lc_noscale_not_worse":
+            report["vio_lc"].get("ate_noscale_rmse_m", 1e9)
+            <= report["vio"].get("ate_noscale_rmse_m", 0.0) * 1.05 + 0.01,
         "loops_found": report["vio_lc"]["loops"],
     }
     report["ordering"] = ordering

@@ -87,10 +87,14 @@ class ChunkedSlam:
             # SAME program — XLA overlaps them, the dataflow analogue of
             # the reference's two CUDA streams (src/main.cpp:129-140).
             # Matches with EITHER endpoint in a dynamic-class box are
-            # dropped before RANSAC (src/main.cpp:164-175 drops on the
-            # current frame only — insufficient: a prev-frame object
-            # keypoint ratio-matched to a background point passes that
-            # gate and still injects an inconsistent correspondence).
+            # dropped before RANSAC. The reference checks BOTH endpoints
+            # but against the CURRENT frame's boxes only
+            # (src/main.cpp:164-175: isInDynamicObject(pt1) &&
+            # isInDynamicObject(pt2) with one detection set); here each
+            # endpoint is tested against its OWN frame's boxes — stricter
+            # when the object moved between the frames, since a prev-
+            # frame object keypoint no longer inside the current box
+            # would pass the reference's gate.
             # dyn_all (C+1, N) is the per-FRAME mask; every consumer
             # below slices it for its own frame range.
             if detector is not None and cfg.enable_dynamic_filtering:
@@ -278,6 +282,8 @@ class ChunkedSlam:
         )
         self._kf_insert = jax.jit(keyframe_db.add_keyframes_batch,
                                   donate_argnums=(0,))
+        self._mark_covis = jax.jit(keyframe_db.mark_covisible,
+                                   donate_argnums=(0,))
         self._lc_candidates = jax.jit(
             lambda db, h, f: loop_closure.batch_candidates(db, h, f, cfg.loop)
         )
@@ -367,6 +373,7 @@ class ChunkedSlam:
         self.T = np.eye(4, dtype=np.float32)
         self.frame_count = 0
         self.num_loops = 0
+        self._db_head = 0  # host mirror of db.head (avoids a D2H sync)
         self.trajectory: list = []
         # scale-propagation carry: last frame's unit depths (device) +
         # the running metric scale (host scalar)
@@ -663,6 +670,7 @@ class ChunkedSlam:
             sims, slots = self._lc_candidates(self.db, out["hists"], fids)
             sims = np.asarray(sims)
             loop_found = False
+            accepted_pairs: list = []  # (chunk fidx, matched DB slot)
             if (sims[:, 0] > 0).any():
                 scores = np.array(
                     self._lc_scores_chunk(self.db, out["desc"], out["dvalid"],
@@ -716,6 +724,7 @@ class ChunkedSlam:
                         )
                         self.num_loops += 1
                         loop_found = True
+                        accepted_pairs.append((int(fidx[n_]), int(sl[n_])))
                     if loop_found:
                         self.graph = self._optimize(self.graph)
             if loop_found:
@@ -730,9 +739,21 @@ class ChunkedSlam:
                     # correction survives)
                     self._scale_est.reset_window()
 
+            head_before = self._db_head
+            cap = int(self.cfg.loop.max_keyframes)
             self.db = self._kf_insert(self.db, out["desc"], out["xy"],
                                       out["dvalid"], fids,
                                       jnp.asarray(poses_np))
+            self._db_head = (head_before + c) % cap
+            # covisibility: link each accepted loop's matched keyframe
+            # with the query frame's just-inserted slot (skip matched
+            # slots this very insert overwrote — their rows are stale)
+            for fi, sl_ in accepted_pairs:
+                if (sl_ - head_before) % cap < c:
+                    continue
+                self.db = self._mark_covis(
+                    self.db, jnp.asarray(sl_, jnp.int32),
+                    jnp.asarray((head_before + fi) % cap, jnp.int32))
 
         for i in range(c):
             self.trajectory.append((timestamps[i + 1], poses_np[i]))
@@ -795,7 +816,7 @@ class ChunkedSlam:
         arrays["rng"] = np.asarray(jax.random.key_data(self._key))
         arrays["T"] = self.T
         arrays["counters"] = np.array(
-            [self.frame_count, self.num_loops], np.int64)
+            [self.frame_count, self.num_loops, self._db_head], np.int64)
         arrays["scales"] = np.array(
             [self._scale, self._imu_corr], np.float64)
         arrays["traj_ts"] = np.array(
@@ -839,6 +860,9 @@ class ChunkedSlam:
         self.T = np.asarray(data["T"])
         self.frame_count = int(data["counters"][0])
         self.num_loops = int(data["counters"][1])
+        # older snapshots predate the host head mirror (covisibility)
+        self._db_head = (int(data["counters"][2])
+                         if data["counters"].shape[0] > 2 else 0)
         self._scale = float(data["scales"][0])
         self._imu_corr = float(data["scales"][1])
         self.trajectory = [(float(t), T) for t, T in

@@ -264,6 +264,7 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
         "loops": pipe.num_loops,
         "map_points": int(map_points),
         "ate_rmse_m": ate,
+        "ate_raw_rmse_m": scores["ate_raw_rmse_m"],
         "rpe_rmse_m": rpe,
         "rpe_rot_deg": rpe_rot,
         "skipped_images": n_skipped,
@@ -272,13 +273,20 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
         # absolute-scale diagnostics: the standard ATE above aligns with
         # a free Umeyama scale, which hides metric-scale errors; the
         # scale itself (1.0 == trajectory already metric) and the
-        # scale-fixed ATE expose them (IMU metric scale, vi_init)
+        # scale-fixed (rigid-aligned) ATE expose them (IMU metric scale,
+        # vi_init). Three ATE flavors total: ate_raw_rmse_m (reference
+        # semantics, no alignment), ate_noscale_rmse_m (rigid SE3
+        # Umeyama), ate_rmse_m (Sim3).
         s_um, _, _ = metrics.align_umeyama(est_kept, gt_pos)
         results["umeyama_scale"] = float(s_um)
         results["ate_noscale_rmse_m"] = metrics.ate_rmse(
             est_kept, gt_pos, with_scale=False)
     if fused_pos is not None and len(gt_pos):
         results["ate_fused_rmse_m"] = metrics.ate_rmse(fused_pos[keep], gt_pos)
+        results["ate_fused_noscale_rmse_m"] = metrics.ate_rmse(
+            fused_pos[keep], gt_pos, with_scale=False)
+        results["ate_fused_raw_rmse_m"] = metrics.ate_rmse(
+            fused_pos[keep], gt_pos, align=False)
         with open(os.path.join(out_dir, "fused_trajectory.txt"), "w") as f:
             for tt, p in zip(est_ts, fused_pos):
                 f.write(f"{tt:.9f} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}\n")

@@ -114,6 +114,16 @@ def associate_and_score(data, est_ts, est_T, delta: int = 10):
     scores = {
         "ate_rmse_m": (ate_rmse(est_kept, gt_pos)
                        if len(gt_pos) else float("nan")),
+        # raw = NO alignment at all: the reference's computeATE semantics
+        # (src/euroc_eval.cpp:28-40 — positions compared in whatever
+        # frames they live in). On EuRoC this conflates the arbitrary
+        # vicon-vs-identity start frames exactly as the reference does;
+        # on synthetic scenes (GT world == camera start) it is the
+        # honest metric-including-scale error. The Sim3-aligned
+        # ate_rmse_m above silently forgives scale drift — all three
+        # flavors (raw / rigid / Sim3) are reported so nothing hides.
+        "ate_raw_rmse_m": (ate_rmse(est_kept, gt_pos, align=False)
+                           if len(gt_pos) else float("nan")),
         "rpe_rmse_m": (rpe_rmse(est_kept, gt_pos, delta)
                        if len(gt_pos) else float("nan")),
         "rpe_rot_deg": rot,

@@ -47,6 +47,17 @@ def init_state(dtype=jnp.float32) -> EkfState:
     )
 
 
+def pose_covariance(state: EkfState) -> jnp.ndarray:
+    """6x6 pose covariance over [dp(3), dtheta(3)]: the marginal of the
+    15-state P over the position and orientation-error blocks (parity:
+    core::Pose.covariance, include/core/Types.hpp:66-70 — the reference
+    declares the field but never fills it; here it is the live EKF
+    marginal). Block order matches the reference's Pose (position
+    first, orientation second)."""
+    idx = jnp.concatenate([jnp.arange(0, 3), jnp.arange(6, 9)])
+    return state.P[jnp.ix_(idx, idx)]
+
+
 def process_noise(cfg: EkfConfig, dtype=jnp.float32) -> jnp.ndarray:
     """12x12 Q: [accel noise, gyro noise, accel bias walk, gyro bias walk]
     (IMU.cpp:117-121)."""
@@ -214,14 +225,19 @@ def run_sequence(imu_t, imu_accel, imu_gyro, vo_t, vo_R, vo_t_pos, cfg: EkfConfi
     collide, others re-process element 0). io/euroc.py sorts both
     streams at load; checked here when called with concrete arrays.
     """
-    if not isinstance(imu_t, jax.core.Tracer):
-        for name, arr in (("imu_t", imu_t), ("vo_t", vo_t)):
-            a = np.asarray(arr)
-            if a.shape[0] > 1 and np.any(np.diff(a) < 0):
+    # validate only HOST arrays: np.ndarray inputs cost nothing to check,
+    # while tracers can't be concretized and device arrays would force a
+    # D2H copy of the whole stream on every call (ADVICE r3: the old
+    # jax.core.Tracer isinstance check is deprecated AND np.asarray
+    # copied both streams back from device each call)
+    for name, arr in (("imu_t", imu_t), ("vo_t", vo_t)):
+        if isinstance(arr, np.ndarray) and arr.shape[0] > 1:
+            d = np.diff(arr)
+            if np.any(d < 0):
                 raise ValueError(
                     f"ekf.run_sequence: {name} is not sorted "
                     f"(first inversion at index "
-                    f"{int(np.argmax(np.diff(a) < 0))}); sort the "
+                    f"{int(np.argmax(d < 0))}); sort the "
                     f"streams by timestamp first (io/euroc.py does)")
     m = imu_t.shape[0]
     v = vo_t.shape[0]

@@ -283,6 +283,10 @@ def align(vo_pos, R_wb, dp, dv, dts, ok, refine_gravity: bool = True,
     g = x[-4:-1] * s
     out["g_err"] = abs(np.linalg.norm(g) - GRAVITY)
 
+    # covariance source for the s_rel_std gate: the system actually
+    # solved last (ADVICE r3: mixing the unconstrained normal matrix
+    # with gravity-pinned residuals mismatches parameterizations/dof)
+    A_c, x_c, beta_col = A, x, nu - 1
     if refine_gravity and np.linalg.norm(g) > 1e-6 and s > 0:
         # re-solve with |g| = G pinned: g' = beta*G*ghat + B w (w
         # absorbs beta in the tangent coords) -> stays LINEAR in
@@ -303,18 +307,22 @@ def align(vo_pos, R_wb, dp, dv, dts, ok, refine_gravity: bool = True,
             g = gp * s
             g = GRAVITY * g / max(np.linalg.norm(g), 1e-12)
         x = np.concatenate([x2[:3 * nseg], beta * g, [beta]])
+        A_c, x_c, beta_col = A2, x2, 3 * nseg
 
     resid = A @ x - b
     out["s"] = s
     out["g"] = g
     out["residual"] = float(np.sqrt(np.mean(resid**2))
                             / max(np.sqrt(np.mean(b**2)), 1e-9))
-    # relative 1-sigma of s from the LS covariance: the gate that keeps
-    # noisy windows from steering the EMA (beta is the last unknown)
-    dof = max(len(b) - nu, 1)
-    sigma2 = float(np.sum(resid**2)) / dof
+    # relative 1-sigma of s from the LS covariance of the CONSTRAINED
+    # system when gravity refinement ran (beta sits at column 3*nseg
+    # there), else of the free system: the gate that keeps noisy
+    # windows from steering the EMA
+    resid_c = A_c @ x_c - b
+    dof = max(len(b) - A_c.shape[1], 1)
+    sigma2 = float(np.sum(resid_c**2)) / dof
     try:
-        cov_bb = sigma2 * np.linalg.inv(A.T @ A)[-1, -1]
+        cov_bb = sigma2 * np.linalg.inv(A_c.T @ A_c)[beta_col, beta_col]
         out["s_rel_std"] = float(np.sqrt(max(cov_bb, 0.0)) / abs(beta))
     except np.linalg.LinAlgError:
         out["s_rel_std"] = np.inf

@@ -157,6 +157,19 @@ def _load_camera(sensor_yaml: str) -> CameraConfig:
         return defaults
 
 
+def _require_cv2():
+    """cv2 is an optional extra (pyproject [cv]): either opencv-python
+    or opencv-python-headless satisfies the import — pinning one as a
+    core dep would conflict with environments shipping the other."""
+    try:
+        import cv2
+    except ImportError as e:
+        raise ImportError(
+            "image decode needs OpenCV: pip install 'aria-slam-tpu[cv]' "
+            "(or opencv-python-headless on servers/CI)") from e
+    return cv2
+
+
 def load_image(path: str) -> np.ndarray:
     """Grayscale uint8 (H, W) in [0, 255].
 
@@ -164,7 +177,7 @@ def load_image(path: str) -> np.ndarray:
     entry point casts to float32 on device as its first op (exact for
     0..255) — on this rig's ~2-3 GB/s relay a float32 transfer would
     quadruple the per-chunk H2D bytes for nothing."""
-    import cv2
+    cv2 = _require_cv2()
 
     img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
     if img is None:
@@ -178,7 +191,7 @@ def load_image_safe(path: str) -> Optional[np.ndarray]:
     skips unreadable images and continues
     (src/legacy/EuRoCReader.cpp:287-291). One bad frame must not kill a
     whole evaluation."""
-    import cv2
+    cv2 = _require_cv2()
 
     try:
         img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)

@@ -270,6 +270,14 @@ def make_frame_step(
                 depths=new_depths, depth_mask=new_dmask, depth_scale=new_scale,
             )
             db_new = keyframe_db.add_keyframe(state.db, feats, state.frame_id, pose_new)
+            # accepted loop pairs observe the same scene: link them in
+            # the covisibility graph (the current frame just landed at
+            # the pre-insert head slot). No-op self-link when no loop.
+            cur_slot = state.db.head
+            a = jnp.where(loop.detected, loop.slot, cur_slot)
+            db_new = db_new.replace(
+                covis=db_new.covis.at[a, cur_slot].max(loop.detected)
+                                  .at[cur_slot, a].max(loop.detected))
         else:
             loop = LoopResult(
                 detected=jnp.asarray(False),
@@ -400,7 +408,7 @@ class SlamPipeline:
             # frame_id scalar would defeat the pipelining): frames are
             # nodes 1..N in dispatch order
             node_id = len(self.trajectory) + len(self._pending) + 1
-            self._pending.append((timestamp, out, node_id))
+            self._pending.append((timestamp, out, node_id, self.num_loops))
             if len(self._pending) > self._lazy:
                 self._pop_pending()
             return None
@@ -416,10 +424,21 @@ class SlamPipeline:
 
     def _pop_pending(self) -> None:
         """Force and publish the oldest deferred frame output."""
-        timestamp, out, node_id = self._pending.pop(0)
+        timestamp, out, node_id, loops_at_dispatch = self._pending.pop(0)
         if bool(out.loop.detected):
             self._handle_loop(out, node_id=node_id)
-        pose = np.asarray(out.pose)
+        if self.num_loops > loops_at_dispatch:
+            # a loop optimization landed after this frame was dispatched
+            # (its own, or a later pop's): the dispatch-time out.pose
+            # predates the correction — publish the node's optimized
+            # graph pose instead, matching what sync mode publishes
+            # (ADVICE r3: lazy mode leaked pre-optimization poses into
+            # the trajectory for the query frame and up to lazy_depth-1
+            # straddling frames). The fetch forces the latest step, but
+            # loops are rare events — steady-state pops stay lazy.
+            pose = np.asarray(pose_graph.get_pose(self.state.graph, node_id))
+        else:
+            pose = np.asarray(out.pose)
         self.trajectory.append((timestamp, pose))
         if self.on_pose is not None:
             self.on_pose(timestamp, pose)
@@ -504,3 +523,11 @@ class SlamPipeline:
         T[:3, :3] = np.asarray(lie.quat_to_mat(s.quat))
         T[:3, 3] = np.asarray(s.pos)
         return T
+
+    @property
+    def fused_pose_covariance(self) -> np.ndarray:
+        """6x6 [dp, dtheta] covariance of the fused pose (parity:
+        core::Pose.covariance, include/core/Types.hpp:66-70)."""
+        from aria_slam_tpu.fusion import ekf as ekf_mod
+
+        return np.asarray(ekf_mod.pose_covariance(self.state.ekf_state))

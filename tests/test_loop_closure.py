@@ -270,3 +270,46 @@ def test_ring_buffer_eviction():
     ids = np.asarray(db.frame_id)
     assert int(db.size) == 4
     assert set(ids.tolist()) == {2, 3, 4, 5}
+
+
+def test_covisibility_temporal_and_loop_links():
+    """Inserts link temporal neighbors; mark_covisible links loop pairs;
+    ring eviction clears a reused slot's stale links (parity surface:
+    KeyFrame.covisible_keyframes, include/core/Types.hpp:42)."""
+    db = keyframe_db.init_db(LC, ORB)
+    f0, scene, desc = make_frame(0)
+    # single inserts: 0-1-2 chain
+    for fid in range(3):
+        db = keyframe_db.add_keyframe(db, f0, fid, jnp.eye(4))
+    cv = np.asarray(db.covis)
+    assert cv[0, 1] and cv[1, 0] and cv[1, 2] and cv[2, 1]
+    assert not cv[0, 2] and not cv[0, 0]
+
+    # batch insert continues the chain across the boundary (2 <-> 3)
+    c = 4
+    db = keyframe_db.add_keyframes_batch(
+        db, jnp.stack([f0.desc] * c), jnp.stack([f0.xy] * c),
+        jnp.stack([f0.valid] * c),
+        jnp.arange(3, 3 + c, dtype=jnp.int32),
+        jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (c, 1, 1)))
+    cv = np.asarray(db.covis)
+    assert cv[2, 3] and cv[3, 4] and cv[4, 5] and cv[5, 6]
+    assert not cv[3, 5]
+
+    # loop link is symmetric
+    db = keyframe_db.mark_covisible(db, 0, 6)
+    cv = np.asarray(db.covis)
+    assert cv[0, 6] and cv[6, 0]
+    assert np.asarray(keyframe_db.covisible_slots(db, 0))[6]
+
+    # fill the ring so slot 0 is evicted: its old links must clear
+    cap = LC.max_keyframes
+    n_more = cap - 7 + 1  # advance head past slot 0
+    db = keyframe_db.add_keyframes_batch(
+        db, jnp.stack([f0.desc] * n_more), jnp.stack([f0.xy] * n_more),
+        jnp.stack([f0.valid] * n_more),
+        jnp.arange(7, 7 + n_more, dtype=jnp.int32),
+        jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (n_more, 1, 1)))
+    cv = np.asarray(db.covis)
+    assert not cv[0, 6] and not cv[6, 0]  # stale loop link cleared
+    assert cv[0, cap - 1]  # slot 0 now the newest insert, linked to pred
