@@ -248,13 +248,22 @@ def main():
     ap.add_argument("--devices", type=int, default=0,
                     help="data-axis size (0 = all devices)")
     ap.add_argument("--config", default=None)
+    ap.add_argument("--out", default=None, metavar="JSON",
+                    help="write per-sequence results as a JSON file")
     args = ap.parse_args()
 
     cfg = (PipelineConfig.from_yaml(args.config) if args.config
            else PipelineConfig())
     n = args.devices or len(jax.devices())
     mesh = make_mesh(n_data=min(n, len(jax.devices())), n_model=1)
-    run_scenes(args.datasets, cfg, chunk=args.chunk, mesh=mesh)
+    results = run_scenes(args.datasets, cfg, chunk=args.chunk, mesh=mesh)
+    if args.out:
+        import json
+
+        with open(args.out, "w") as f:
+            json.dump({"mesh_devices": int(mesh.shape["data"]),
+                       "chunk": args.chunk, "results": results}, f, indent=1)
+        print(f"results written to {args.out}")
 
 
 if __name__ == "__main__":
