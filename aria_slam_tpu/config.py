@@ -181,13 +181,19 @@ class PoseGraphConfig:
     loop_edge_weight: float = 10.0
     # wide-baseline backbone edges (chunked mode): every frame also gets
     # an edge to frame i-mapper.pair_lag from a RANSAC on the lag pair.
-    # Consecutive 10-30 fps frames sit at ~1-2% baseline/depth where the
-    # essential-matrix translation DIRECTION is noise-bound (median ~60
-    # deg error measured on the rotloop benchmark); at lag L the ratio
-    # grows ~L-fold and direction error drops accordingly, so the pose
-    # graph blends short edges (good rotation) with lag edges (good
-    # translation). 0 disables. Requires a metric vo_scale_mode.
-    backbone_weight: float = 2.0
+    # DEFAULT 0 (off) since r4: the backbone predates gyro chain
+    # rotations and chunk BA, which now carry the wide-baseline
+    # information through multi-frame tracks — and the backbone's
+    # independent measurements disagree with the BA-refined chain, a
+    # fight the pose-graph LM resolves by distorting the trajectory.
+    # Measured on the low-res rotloop (lc_diag r4, final optimize with
+    # 17 loops): backbone on -> Sim3 ATE 0.655 m / rot RPE 6.3 deg /
+    # umeyama drift 0.73->0.94; backbone off -> 0.561 m / 0.15 deg /
+    # scale exactly stable. Without loops the final optimize becomes an
+    # exact no-op (chain edges are consistent by construction). >0
+    # re-enables (see PipelineConfig.backbone_t_source for the
+    # magnitude convention). Requires a metric vo_scale_mode.
+    backbone_weight: float = 0.0
     # translation weight of the consecutive-frame chain edges when the
     # backbone is active. Their translations are low-parallax noise
     # (measured 1.5x |t| bias on the rotloop benchmark while backbone
@@ -255,6 +261,27 @@ class PipelineConfig:
     # ONE global scale instead of one per frame (better ATE/RPE/maps)
     vo_scale_mode: str = "median_depth"
     vo_scene_depth: float = 4.0
+    # EMA the chain's metric toward the lag-pair (backbone) pin metric.
+    # OFF by default: the r4 edge audits measured the backbone pin
+    # biased ~29% SMALL at BOTH resolutions (lag-pair depth pins carry
+    # their own systematic bias) while the gyro-fused + chunk-BA chain
+    # pin sat within ~4% of metric at full res — so the chain is the
+    # better anchor and consistency must flow chain -> backbone (see
+    # backbone_t_source), not the reverse. Kept as an A/B lever for
+    # scenes where the consecutive-pair pin is the broken one; needs
+    # pose_graph.backbone_weight > 0 (the lag-pair RANSAC rides the
+    # backbone block).
+    vo_backbone_scale: bool = False
+    # backbone edge translation magnitude source: "chain" copies the
+    # chain's displacement over the lag window — the backbone edge then
+    # contributes its superior wide-baseline DIRECTION without fighting
+    # the chain's metric. The r3 behavior ("pin": the lag pair's own
+    # depth pin) made chain and backbone edges disagree by 30-50% in
+    # scale, and the pose-graph LM "resolved" the fight by twisting the
+    # trajectory: measured on the r4 edge audits, the final optimize
+    # took full-res rot RPE 0.06 -> 1.14 deg and rigid-aligned ATE
+    # 0.08 -> 0.29 m. "chain" removes the metric fight entirely.
+    backbone_t_source: str = "chain"
     # replace per-pair VO rotations with integrated gyro rotations when
     # IMU data is present (fusion/gyro_prior.py; also fused inside the
     # online per-frame step) — the gyro is ~30x more accurate over one

@@ -30,16 +30,33 @@ VERIFY_MAX = 16  # loop-closure candidate pairs verified per chunk (vmapped;
                  # raised from 8 — on loop-dense revisits the cap bound
                  # recall, VERDICT r2 weak #6)
 
+# wide-baseline scale correction (config.vo_backbone_scale): per-chunk
+# log-EMA gain on the median backbone/chain displacement ratio, and the
+# per-chunk clamp. Gain < 1 smooths the per-chunk median's noise
+# (~13 lag pairs per chunk-16); the clamp bounds a pathological chunk.
+VIS_SCALE_GAIN = 0.5
+VIS_SCALE_CLAMP = (0.5, 2.0)
+VIS_SCALE_MIN_PAIRS = 4
+
 
 class ChunkedSlam:
     """Offline chunked evaluator; mirrors the SlamPipeline results
     (trajectory, map, loops) at batch throughput."""
 
-    def __init__(self, config: PipelineConfig, chunk: int = 16, seed: int = 0):
+    def __init__(self, config: PipelineConfig, chunk: int = 16, seed: int = 0,
+                 timer=None):
+        """timer: optional utils.profiling.StageTimer — per-stage
+        breakdown of the chunk step (frontend / chunk_ba / pose_graph /
+        loop_* / mapping / kf_insert). Host wall-clock between forcing
+        fetch points: on this rig program executions serialize through
+        the relay, so the fetch that forces a program attributes its
+        device time (SURVEY §5.1's answer to the reference's chrono
+        deltas, at sub-stage granularity)."""
         self.cfg = config
         self.chunk = chunk
         self.K = jnp.asarray(config.camera.K)
         self._key = jax.random.key(seed)
+        self._timer = timer
 
         cfg = config
         K = self.K
@@ -257,36 +274,44 @@ class ChunkedSlam:
             self._ba = jax.jit(
                 lambda p, fxy, fv, mi, ci, rs: chunk_ba.refine(
                     p, fxy, fv, mi, ci, K, cfg.chunk_ba, rs))
-        # donated carries: DB/map/graph hold large padded buffers — without
-        # donation every functional update copies them
-        self._map_insert = jax.jit(
-            lambda m, T1, T2, uv1, uv2, v, imgs: mapper.add_from_matches_batched(
-                m, K, T1, T2, uv1, uv2, v, imgs, cfg.mapper),
-            donate_argnums=(0,),
-        )
         # chain-edge translation weight: down-weighted only when the
         # backbone carries the better-conditioned translations
         backbone_on = (cfg.pose_graph.backbone_weight > 0
                        and cfg.vo_scale_mode != "unit")
         odom_twt = cfg.pose_graph.odom_t_weight if backbone_on else 1.0
-        # rwt traced: gyro-backed chunks pin chain rotations at
-        # cfg.pose_graph.gyro_rot_weight, visual chunks at 1.0
-        self._extend = jax.jit(
-            lambda g, p, r, f, rwt: pose_graph.extend_chain(
-                g, p, r, f, odom_twt, rwt),
-            donate_argnums=(0,))
+
+        def state_update(graph, db, mstate, a):
+            """ONE program for the whole post-chunk state commit: chain
+            extension + keyframe-DB insert + map triangulation/insert.
+            Each program execution costs ~38 ms through this rig's
+            relay regardless of size (CLAUDE.md), so the three donated
+            updates that used to be separate dispatches fuse into one —
+            ~5 ms/frame off the chunk-16 full-SLAM floor. `a` is a dict
+            whose key set is fixed by the enabled subsystems (static
+            pytree structure -> one compile)."""
+            # rwt traced: gyro-backed chunks pin chain rotations at
+            # cfg.pose_graph.gyro_rot_weight, visual chunks at 1.0
+            graph = pose_graph.extend_chain(
+                graph, a["poses"], a["rels"], a["first_node"], odom_twt,
+                a["rwt"])
+            if cfg.enable_loop_closure:
+                db = keyframe_db.add_keyframes_batch(
+                    db, a["desc"], a["xy"], a["dvalid"], a["fids"],
+                    a["poses"])
+            if cfg.enable_mapping:
+                mstate = mapper.add_from_matches_batched(
+                    mstate, K, a["T1"], a["T2"], a["uv1"], a["uv2"],
+                    a["lv"], a["frames_lag"], cfg.mapper)
+            return graph, db, mstate
+
+        self._state_update = jax.jit(state_update, donate_argnums=(0, 1, 2))
         self._add_backbone = jax.jit(
             lambda g, i, j, r, v: pose_graph.add_edges_batch(
                 g, i, j, r, cfg.pose_graph.backbone_weight, v),
             donate_argnums=(0,),
         )
-        self._kf_insert = jax.jit(keyframe_db.add_keyframes_batch,
-                                  donate_argnums=(0,))
         self._mark_covis = jax.jit(keyframe_db.mark_covisible,
                                    donate_argnums=(0,))
-        self._lc_candidates = jax.jit(
-            lambda db, h, f: loop_closure.batch_candidates(db, h, f, cfg.loop)
-        )
         def verify_batch(db, desc, xy, dvalid, z2, m2, scales, fidx, slots,
                          key, scale_corr):
             """Vmapped geometric verification of up to VERIFY_MAX
@@ -323,7 +348,8 @@ class ChunkedSlam:
             descriptors repeated per candidate, candidate descriptors
             gathered from the DB. The naive (F, k*F) distance tiles cost
             ~6 GB of HBM traffic per chunk; the fused kernel never
-            materializes them."""
+            materializes them. Fused with the histogram prefilter into
+            one program (lc_query below) — one relay dispatch, not two."""
             from aria_slam_tpu.ops.fast import use_pallas
 
             c, kq, bits = desc.shape
@@ -357,7 +383,12 @@ class ChunkedSlam:
             counts = jnp.sum(good.astype(jnp.float32), 1).reshape(c, k)
             return counts / num_q[:, None]  # (C, k)
 
-        self._lc_scores_chunk = jax.jit(scores_chunk)
+        def lc_query(db, hists, fids, desc, dvalid):
+            sims, slots = loop_closure.batch_candidates(db, hists, fids,
+                                                        cfg.loop)
+            return sims, slots, scores_chunk(db, desc, dvalid, slots)
+
+        self._lc_query = jax.jit(lc_query)
         self._add_loop = jax.jit(
             lambda g, i, j, rel, twt: pose_graph.add_loop_edge(
                 g, i, j, rel, cfg.pose_graph, t_weight=twt),
@@ -387,6 +418,9 @@ class ChunkedSlam:
         # not the vo_scene_depth prior
         self._scale_est = None
         self._imu_corr = 1.0
+        # wide-baseline (backbone) scale correction — see config
+        # .vo_backbone_scale; composes multiplicatively with _imu_corr
+        self._vis_corr = 1.0
         # VINS-style retroactive metric rebase: when the IMU correction
         # jumps (first alignment, or a later >2% EMA move), the whole
         # RECORDED state — graph node/edge translations, keyframe poses,
@@ -404,6 +438,13 @@ class ChunkedSlam:
             ),
             donate_argnums=(0, 1, 2))
 
+    def _st(self, name: str):
+        """Stage-timing context (no-op without a timer)."""
+        import contextlib
+
+        return (self._timer.stage(name) if self._timer is not None
+                else contextlib.nullcontext())
+
     def _chain_scales(self, out, c) -> np.ndarray:
         """Per-pair metric scales. "propagate": s_k = s_{k-1} * ratio_k
         through shared features (fallback: scene-depth pin, else keep);
@@ -415,7 +456,7 @@ class ChunkedSlam:
         mode = self.cfg.vo_scale_mode
         if mode == "unit":
             return np.ones(c, np.float32)
-        corr = self._imu_corr
+        corr = self._imu_corr * self._vis_corr
         pins = np.asarray(out["pins"])
         if mode == "median_depth":
             return np.clip(pins * corr, 1e-4, 1e4)
@@ -461,12 +502,13 @@ class ChunkedSlam:
         if not use_gyro:
             gyro_R = np.tile(np.eye(3, dtype=np.float32), (c_pairs, 1, 1))
             gyro_ok = np.zeros((c_pairs,), bool)
-        out = self._frontend(fr, self._zlast, self._mlast, k1,
-                             jnp.asarray(gyro_R, jnp.float32),
-                             jnp.asarray(gyro_ok))
-        R = np.asarray(out["R"])
-        t = np.asarray(out["t"])
-        ok = np.asarray(out["ok"])
+        with self._st("frontend"):
+            out = self._frontend(fr, self._zlast, self._mlast, k1,
+                                 jnp.asarray(gyro_R, jnp.float32),
+                                 jnp.asarray(gyro_ok))
+            R = np.asarray(out["R"])  # forces the frontend program
+            t = np.asarray(out["t"])
+            ok = np.asarray(out["ok"])
         self._zlast = out["Z2"][-1]  # stays on device for the next chunk
         self._mlast = out["M2"][-1]
 
@@ -516,6 +558,8 @@ class ChunkedSlam:
         # motions REPLACE the two-view rels as the edge measurements
         # (they reconcile all overlapping pairs instead of one).
         if cfg.chunk_ba.enabled and "fxy" in out:
+            ba_cm = self._st("chunk_ba")
+            ba_cm.__enter__()
             poses_all = np.concatenate(
                 [T_start[None], poses_np], 0).astype(np.float32)
             gyro_full = (use_gyro and bool(np.all(gyro_ok)))
@@ -578,58 +622,130 @@ class ChunkedSlam:
                     "nij,njk->nik", np.linalg.inv(refined[:-1]), refined[1:]
                 ).astype(np.float32)
                 self.T = poses_np[-1].copy()
+            ba_cm.__exit__(None, None, None)
         self._chunk_scales = scales  # for the loop-verify call below
 
         # ---- IMU metric scale: feed the estimator the chunk's final
         # poses; the updated correction applies from the NEXT chunk on
         # (the estimator's tag bookkeeping keeps the window consistent),
         # plus a retroactive rebase of the recorded state at the end of
-        # this method when the correction moved by > 2%
-        corr_before = self._imu_corr
+        # this method when the correction moved by > 2%. corr_before is
+        # the TOTAL correction this chunk's scales were built with
+        # (IMU x wide-baseline) — the loop verify below and the retro
+        # check both key off it.
+        corr_before = self._imu_corr * self._vis_corr
         if (cfg.imu_metric_scale and imu_window is not None
                 and cfg.vo_scale_mode != "unit"):
-            if self._scale_est is None:
-                from aria_slam_tpu.fusion.vi_init import ScaleEstimator
+            with self._st("imu_scale"):
+                if self._scale_est is None:
+                    from aria_slam_tpu.fusion.vi_init import ScaleEstimator
 
-                self._scale_est = ScaleEstimator(
-                    R_cam_imu=np.asarray(cfg.imu_cam_rotation, np.float64))
-                # seed the window with the chunk-start pose
-                self._scale_est.update(
-                    np.asarray(timestamps[:1], np.float64),
-                    T_start[None], *imu_window)
-            self._imu_corr = self._scale_est.update(
-                np.asarray(timestamps[1:], np.float64), poses_np,
-                *imu_window)
+                    self._scale_est = ScaleEstimator(
+                        R_cam_imu=np.asarray(cfg.imu_cam_rotation,
+                                             np.float64))
+                    # seed the window with the chunk-start pose
+                    self._scale_est.update(
+                        np.asarray(timestamps[:1], np.float64),
+                        T_start[None], *imu_window)
+                self._imu_corr = self._scale_est.update(
+                    np.asarray(timestamps[1:], np.float64), poses_np,
+                    *imu_window)
 
-        # ---- pose graph chunk append
+        # ---- fused post-chunk state commit: chain extension +
+        # keyframe-DB insert + map triangulation in ONE donated program
+        # (each dispatch costs ~38 ms through the relay; this was 3).
+        # Inserting keyframes BEFORE the loop query below is safe: the
+        # candidate gap gate (loop.min_frames_between, default 200)
+        # excludes everything this insert wrote.
         first_node = self.frame_count
         chain_rwt = (cfg.pose_graph.gyro_rot_weight
                      if use_gyro and bool(np.all(gyro_ok)) else 1.0)
-        self.graph = self._extend(self.graph, jnp.asarray(poses_np),
-                                  jnp.asarray(rels), first_node,
-                                  jnp.asarray(chain_rwt, jnp.float32))
+        a = {
+            "poses": jnp.asarray(poses_np),
+            "rels": jnp.asarray(rels),
+            "first_node": first_node,
+            "rwt": jnp.asarray(chain_rwt, jnp.float32),
+        }
+        fids = None
+        head_before = self._db_head
+        if cfg.enable_loop_closure:
+            # global frame index of each 'cur' frame; node id == frame
+            # id in the chunked graph (frame 0 is node 0)
+            fids = jnp.asarray(self.frame_count + np.arange(c), jnp.int32)
+            a.update(desc=out["desc"], xy=out["xy"], dvalid=out["dvalid"],
+                     fids=fids)
+        if cfg.enable_mapping:
+            # mapping over lag pairs (i-lag, i): camera-from-world ends
+            lag = self.lag
+            all_poses = [self.trajectory[-1][1]] + poses  # i <-> frame k0+i
+            a.update(
+                T1=jnp.asarray(
+                    np.linalg.inv(np.stack(all_poses[: c + 1 - lag]))),
+                T2=jnp.asarray(np.linalg.inv(np.stack(all_poses[lag:]))),
+                uv1=out["uvl_prev"], uv2=out["uvl_cur"], lv=out["lvalid"],
+                frames_lag=fr[lag:])
+        with self._st("state_update"):  # dispatch-only (forced later)
+            self.graph, self.db, self.map_state = self._state_update(
+                self.graph, self.db, self.map_state, a)
+        if cfg.enable_loop_closure:
+            self._db_head = ((head_before + c)
+                             % int(self.cfg.loop.max_keyframes))
 
         # ---- wide-baseline backbone edges (node i-lag -> node i)
         if "Rl" in out:
             Rl = np.asarray(out["Rl"])
             tl = np.asarray(out["tl"])
             pinl = np.asarray(out["pinl"])
-            bvalid = np.asarray(out["okl"]) & np.asarray(out["pinokl"])
+            okl = np.asarray(out["okl"])
             nlag = Rl.shape[0]  # == c + 1 - lag
-            # metric consistency: pinl pins the LAG pair's median scene
-            # depth to vo_scene_depth, but the chain's actual metric at
-            # the pair's first frame k is scales[k] * vo_scene_depth /
-            # pins[k] (median_depth: the IMU correction factor;
-            # propagate: the drifted chain scale too). A raw pinl-scaled
-            # backbone would inject metrically inconsistent measurements
-            # the optimizer reconciles by distorting the trajectory, so
-            # rescale: pinl * scales[k] / pins[k].
             pins_c = np.asarray(out["pins"])[:nlag]
-            tscale = pinl * scales[:nlag] / np.maximum(pins_c, 1e-6)
+            # chain displacement over each lag window: |t| of the
+            # relative pose IS the camera-center distance, so this is
+            # directly comparable with the backbone's own |t|
+            pos_all = np.concatenate(
+                [T_start[None, :3, 3], poses_np[:, :3, 3]], 0)
+            d_chain = np.linalg.norm(
+                pos_all[self.lag:] - pos_all[:-self.lag], axis=1)
+            # the lag pair's own metric: its depth pin carried into the
+            # chain's current correction (scales[k]/pins[k] == the
+            # running corr factor at pair k)
+            m_pin = pinl * scales[:nlag] / np.maximum(pins_c, 1e-6)
+            pin_ok = okl & np.asarray(out["pinokl"])
             if cfg.vo_scale_mode == "propagate":
-                # propagate mode re-anchors on pins: the relation above
+                # propagate mode re-anchors on pins: the pin relation
                 # needs a valid pin at the pair's first frame
-                bvalid = bvalid & np.asarray(out["pin_oks"])[:nlag]
+                pin_ok = pin_ok & np.asarray(out["pin_oks"])[:nlag]
+            if cfg.backbone_t_source == "chain":
+                # magnitude from the chain, DIRECTION from the wide-
+                # baseline RANSAC: the backbone edge then corrects
+                # direction/shape drift without fighting the chain's
+                # metric (r4 edge audit: chain +21% vs backbone -27% on
+                # the low-res rotloop — the LM resolved that 48% metric
+                # fight by twisting the trajectory, rot RPE 0.17 ->
+                # 2.65 deg through the final optimize)
+                tscale = d_chain
+                bvalid = okl & (d_chain > 1e-6)
+            else:  # "pin": r3 behavior
+                tscale = m_pin
+                bvalid = pin_ok
+            # wide-baseline scale correction (config.vo_backbone_scale):
+            # EMA the chain's metric toward the lag-pair pin metric.
+            # Both m_pin and d_chain already carry the running
+            # correction, so their ratio measures the RAW pin
+            # discrepancy pinl/pins — a correction-invariant constant
+            # that IS the absolute target for _vis_corr (EMA toward it;
+            # a cumulative multiply would diverge since the measured
+            # ratio never shrinks as the correction applies).
+            if cfg.vo_backbone_scale and cfg.vo_scale_mode != "unit":
+                okv = pin_ok & np.isfinite(m_pin) & (d_chain > 1e-3)
+                if int(okv.sum()) >= VIS_SCALE_MIN_PAIRS:
+                    r = float(np.clip(
+                        np.exp(np.median(np.log(
+                            m_pin[okv] / d_chain[okv]))),
+                        *VIS_SCALE_CLAMP))
+                    self._vis_corr = float(np.exp(
+                        (1.0 - VIS_SCALE_GAIN) * np.log(self._vis_corr)
+                        + VIS_SCALE_GAIN * np.log(r)))
             Tl = np.tile(np.eye(4, dtype=np.float32), (nlag, 1, 1))
             Tl[:, :3, :3] = Rl
             Tl[:, :3, 3] = tl * tscale[:, None]
@@ -647,35 +763,23 @@ class ChunkedSlam:
             rels_l = np.tile(np.eye(4, dtype=np.float32), (nlag, 1, 1))
             rels_l[:, :3, :3] = RlT
             rels_l[:, :3, 3] = -np.einsum("nij,nj->ni", RlT, Tl[:, :3, 3])
-            self.graph = self._add_backbone(
-                self.graph, jnp.asarray(i_idx), jnp.asarray(j_idx),
-                jnp.asarray(rels_l), jnp.asarray(bvalid))
+            with self._st("pose_graph_extend"):
+                self.graph = self._add_backbone(
+                    self.graph, jnp.asarray(i_idx), jnp.asarray(j_idx),
+                    jnp.asarray(rels_l), jnp.asarray(bvalid))
 
-        # ---- mapping over lag pairs (i-lag, i): camera-from-world ends
-        if cfg.enable_mapping:
-            lag = self.lag
-            all_poses = [self.trajectory[-1][1]] + poses  # index i <-> frame k0+i
-            T1 = jnp.asarray(np.linalg.inv(np.stack(all_poses[: c + 1 - lag])))
-            T2 = jnp.asarray(np.linalg.inv(np.stack(all_poses[lag:])))
-            self.map_state = self._map_insert(
-                self.map_state, T1, T2, out["uvl_prev"], out["uvl_cur"],
-                out["lvalid"], fr[lag:]
-            )
-
-        # ---- loop closure (prefilter chunk, verify best candidates)
+        # ---- loop closure (prefilter chunk, verify best candidates).
+        # Histogram prefilter + exact candidate scoring ride ONE fused
+        # program (lc_query) — one relay dispatch, not two.
         if cfg.enable_loop_closure:
-            # global frame index of each 'cur' frame; node id == frame id
-            # in the chunked graph (frame 0 is node 0)
-            fids = jnp.asarray(self.frame_count + np.arange(c), jnp.int32)
-            sims, slots = self._lc_candidates(self.db, out["hists"], fids)
-            sims = np.asarray(sims)
+            with self._st("loop_query"):
+                sims, slots, scores_dev = self._lc_query(
+                    self.db, out["hists"], fids, out["desc"], out["dvalid"])
+                sims = np.asarray(sims)
             loop_found = False
             accepted_pairs: list = []  # (chunk fidx, matched DB slot)
             if (sims[:, 0] > 0).any():
-                scores = np.array(
-                    self._lc_scores_chunk(self.db, out["desc"], out["dvalid"],
-                                          slots)
-                )  # (C, k) — np.array: writable copy
+                scores = np.array(scores_dev)  # (C, k) — writable copy
                 scores[sims <= 0] = -1.0
                 # verify the top VERIFY_MAX scoring (frame, candidate)
                 # pairs of the chunk in ONE vmapped call (parity: the
@@ -695,17 +799,18 @@ class ChunkedSlam:
                         fidx[n_] = i
                         sl[n_] = slots_np[i, j]
                         live[n_] = True
-                    passed, _, T_rels, twts = self._lc_verify_batch(
-                        self.db, out["desc"], out["xy"], out["dvalid"],
-                        out["Z2"], out["M2"],
-                        jnp.asarray(self._chunk_scales),
-                        jnp.asarray(fidx), jnp.asarray(sl), k2,
-                        # the corr the chunk's scales were built with —
-                        # a same-chunk estimator move lands via the
-                        # retro rebase below, not mid-chunk
-                        jnp.asarray(corr_before, jnp.float32),
-                    )
-                    passed = np.asarray(passed) & live
+                    with self._st("loop_verify"):
+                        passed, _, T_rels, twts = self._lc_verify_batch(
+                            self.db, out["desc"], out["xy"], out["dvalid"],
+                            out["Z2"], out["M2"],
+                            jnp.asarray(self._chunk_scales),
+                            jnp.asarray(fidx), jnp.asarray(sl), k2,
+                            # the corr the chunk's scales were built
+                            # with — a same-chunk estimator move lands
+                            # via the retro rebase below, not mid-chunk
+                            jnp.asarray(corr_before, jnp.float32),
+                        )
+                        passed = np.asarray(passed) & live
                     T_rels = np.asarray(T_rels)
                     twts = np.asarray(twts)
                     db_fids = np.asarray(self.db.frame_id)
@@ -726,7 +831,8 @@ class ChunkedSlam:
                         loop_found = True
                         accepted_pairs.append((int(fidx[n_]), int(sl[n_])))
                     if loop_found:
-                        self.graph = self._optimize(self.graph)
+                        with self._st("loop_optimize"):
+                            self.graph = self._optimize(self.graph)
             if loop_found:
                 # rebase the running pose on the optimized graph
                 node = self.frame_count + c - 1
@@ -739,15 +845,12 @@ class ChunkedSlam:
                     # correction survives)
                     self._scale_est.reset_window()
 
-            head_before = self._db_head
             cap = int(self.cfg.loop.max_keyframes)
-            self.db = self._kf_insert(self.db, out["desc"], out["xy"],
-                                      out["dvalid"], fids,
-                                      jnp.asarray(poses_np))
-            self._db_head = (head_before + c) % cap
             # covisibility: link each accepted loop's matched keyframe
-            # with the query frame's just-inserted slot (skip matched
-            # slots this very insert overwrote — their rows are stale)
+            # with the query frame's slot (written by the fused state
+            # commit above). The skip guard is vestigial safety: slots
+            # the insert overwrote can't be candidates — the gap gate
+            # excludes every frame-id this chunk wrote.
             for fi, sl_ in accepted_pairs:
                 if (sl_ - head_before) % cap < c:
                     continue
@@ -760,11 +863,12 @@ class ChunkedSlam:
         self.frame_count += c
 
         # ---- VINS-style retroactive metric rebase (see __init__): the
-        # alignment's absolute estimate applies to the WHOLE raw chain,
-        # so a correction jump rescales everything already recorded —
-        # without this, every frame before the first alignment (~50
-        # frames of warm-up window) would keep the wrong prior metric
-        ratio = self._imu_corr / corr_before
+        # correction estimates (IMU alignment AND the wide-baseline
+        # factor) apply to the WHOLE raw chain, so a jump rescales
+        # everything already recorded — without this, every frame
+        # before the first alignment (~50 frames of warm-up window)
+        # would keep the wrong prior metric
+        ratio = (self._imu_corr * self._vis_corr) / corr_before
         if abs(ratio - 1.0) > 0.02:
             self._retro_rescale(ratio)
 
@@ -818,7 +922,7 @@ class ChunkedSlam:
         arrays["counters"] = np.array(
             [self.frame_count, self.num_loops, self._db_head], np.int64)
         arrays["scales"] = np.array(
-            [self._scale, self._imu_corr], np.float64)
+            [self._scale, self._imu_corr, self._vis_corr], np.float64)
         arrays["traj_ts"] = np.array(
             [t for t, _ in self.trajectory], np.float64)
         arrays["traj_T"] = (np.stack([T for _, T in self.trajectory])
@@ -865,6 +969,8 @@ class ChunkedSlam:
                          if data["counters"].shape[0] > 2 else 0)
         self._scale = float(data["scales"][0])
         self._imu_corr = float(data["scales"][1])
+        self._vis_corr = (float(data["scales"][2])
+                          if data["scales"].shape[0] > 2 else 1.0)
         self.trajectory = [(float(t), T) for t, T in
                            zip(data["traj_ts"], data["traj_T"])]
         if "est_state" in data:

@@ -67,7 +67,7 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
 
         from concurrent.futures import ThreadPoolExecutor
 
-        pipe = ChunkedSlam(config, chunk=chunk)
+        pipe = ChunkedSlam(config, chunk=chunk, timer=timer)
 
         bad_idx: set = set()   # unreadable image indices (dedup: chunk
         last_good = None       # overlaps decode boundary frames twice)

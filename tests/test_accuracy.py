@@ -60,18 +60,19 @@ def results(scene_dir):
 
 
 def test_ate_below_committed_threshold(results):
-    """Measured 0.63 m on this scene (2026-08: Sampson-polished RANSAC,
-    homography degeneracy rescue, backbone + t-weighted loop edges,
-    chunk BA); gate = measured + ~25% margin. Path spans ~4.8 m, so the
-    gate sits at ~16% of span — below the 25%-of-path r1 gate. The
-    320x240/384-feature regime is match-starved (~110 matches/pair,
-    ~60 deg two-view direction noise at 2% baseline/depth is
-    information-theoretic, not a bug — see ops/epipolar.py polish
-    notes); the full-res benchmark in eval/accuracy_benchmark.py is the
-    representative number."""
+    """Measured 0.56 m on this scene (2026-08 r4: Sampson-polished
+    RANSAC, homography rescue, chunk BA, t-weighted loop edges, and the
+    pose graph no longer fighting metric-inconsistent backbone edges —
+    backbone_weight defaults 0 since the r4 edge audit); gate =
+    measured + ~25% margin. Path spans ~4.8 m, so the gate sits at
+    ~15% of span. The 320x240/384-feature regime is match-starved
+    (~110 matches/pair, ~60 deg two-view direction noise at 2%
+    baseline/depth is information-theoretic, not a bug — see
+    ops/epipolar.py polish notes); the full-res benchmark in
+    eval/accuracy_benchmark.py is the representative number."""
     ate = results["lc"]["ate_rmse_m"]
     assert np.isfinite(ate)
-    assert ate < 0.80, f"ATE {ate:.3f} m"
+    assert ate < 0.70, f"ATE {ate:.3f} m"
 
 
 def test_loop_closure_found_and_not_harmful(results):
@@ -93,7 +94,23 @@ def test_vio_not_worse_than_vo(results):
 
 
 def test_rotation_rpe_bounded(results):
-    """Rotation drift gate: measured ~2.6 deg RPE@10 with gyro chain
-    fusion (was ~6.3 visual-only); gate = measured + ~50% margin."""
-    assert results["lc"]["rpe_rot_deg"] < 4.0, (
+    """Rotation drift gate: measured 0.15 deg RPE@10 with gyro chain
+    fusion + no-backbone graph (r3's 2.6 deg was the final optimize
+    twisting rotations to reconcile metric-inconsistent backbone
+    edges); gate = measured + generous margin."""
+    assert results["lc"]["rpe_rot_deg"] < 1.0, (
         f"rot RPE {results['lc']['rpe_rot_deg']:.2f} deg")
+
+
+def test_loop_closure_preserves_metric_scale(results):
+    """VERDICT r3 #3: loop edges must not drag the global scale (r3:
+    umeyama 1.19 -> 1.33 with LC on, noscale ATE +34%). With the r4
+    loop-scale fallback + consistent graph, lc and nolc scales are
+    measured identical to 4 decimals; gate at 5%."""
+    s_lc = results["lc"].get("umeyama_scale")
+    s_nolc = results["nolc"].get("umeyama_scale")
+    assert s_lc and s_nolc
+    assert abs(np.log(s_lc / s_nolc)) < 0.05, (
+        f"LC moved umeyama scale {s_nolc:.3f} -> {s_lc:.3f}")
+    assert (results["lc"]["ate_noscale_rmse_m"]
+            <= results["nolc"]["ate_noscale_rmse_m"] * 1.05 + 0.01)

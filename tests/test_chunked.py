@@ -61,6 +61,37 @@ def test_chunked_with_detection_enabled(scene_dir):
     assert res["ate_rmse_m"] < 0.6, f"ATE {res['ate_rmse_m']:.3f}"
 
 
+def test_backbone_path_still_works(scene_dir):
+    """backbone_weight defaults 0 since r4 (metric-inconsistent edge
+    classes distorted the final optimize — see config.PoseGraphConfig);
+    this keeps the opt-in lever exercised: backbone edges with the
+    "chain" translation-magnitude convention plus the wide-baseline
+    scale EMA (vo_backbone_scale) must still produce a sane
+    trajectory, and must not move the scale outside the EMA clamp."""
+    from aria_slam_tpu.config import PoseGraphConfig
+    from aria_slam_tpu.eval import euroc_eval
+
+    cfg = dataclasses.replace(
+        tp.SMALL_CFG,
+        pose_graph=dataclasses.replace(
+            tp.SMALL_CFG.pose_graph, backbone_weight=2.0),
+        backbone_t_source="chain",
+        vo_backbone_scale=True,
+        enable_loop_closure=True,
+    )
+    res = euroc_eval.run(scene_dir, out_dir="/tmp/chunked_backbone_out",
+                         config=cfg, verbose=False, chunk=4)
+    assert res["frames"] == 13
+    assert np.isfinite(res["ate_rmse_m"])
+    assert res["ate_rmse_m"] < 0.6, f"ATE {res['ate_rmse_m']:.3f}"
+    # the legacy "pin" magnitude convention must also still run
+    cfg_pin = dataclasses.replace(cfg, backbone_t_source="pin",
+                                  vo_backbone_scale=False)
+    res_pin = euroc_eval.run(scene_dir, out_dir="/tmp/chunked_backbone_pin",
+                             config=cfg_pin, verbose=False, chunk=4)
+    assert np.isfinite(res_pin["ate_rmse_m"])
+
+
 def test_extend_chain_matches_incremental():
     cfg = PoseGraphConfig(max_nodes=32, max_edges=64)
     g1 = pose_graph.init_graph(cfg)
