@@ -293,6 +293,11 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
     results["stage_ms"] = {
         name: round(s["mean_ms"], 3) for name, s in timer.summary().items()
     }
+    # medians exclude the first-chunk compile outliers — the steady-
+    # state signal for TIMING artifacts
+    results["stage_ms_p50"] = {
+        name: round(s["p50_ms"], 3) for name, s in timer.summary().items()
+    }
     if verbose:
         print("==== results ====")
         for k_, v in results.items():
