@@ -46,8 +46,8 @@ class ChunkedSlam:
     def __init__(self, config: PipelineConfig, chunk: int = 16, seed: int = 0,
                  timer=None):
         """timer: optional utils.profiling.StageTimer — per-stage
-        breakdown of the chunk step (frontend / chunk_ba / pose_graph /
-        loop_* / mapping / kf_insert). Host wall-clock between forcing
+        breakdown of the chunk step (frontend / chunk_ba / imu_scale /
+        state_update / loop_*). Host wall-clock between forcing
         fetch points: on this rig program executions serialize through
         the relay, so the fetch that forces a program attributes its
         device time (SURVEY §5.1's answer to the reference's chrono
@@ -763,7 +763,7 @@ class ChunkedSlam:
             rels_l = np.tile(np.eye(4, dtype=np.float32), (nlag, 1, 1))
             rels_l[:, :3, :3] = RlT
             rels_l[:, :3, 3] = -np.einsum("nij,nj->ni", RlT, Tl[:, :3, 3])
-            with self._st("pose_graph_extend"):
+            with self._st("backbone_edges"):
                 self.graph = self._add_backbone(
                     self.graph, jnp.asarray(i_idx), jnp.asarray(j_idx),
                     jnp.asarray(rels_l), jnp.asarray(bvalid))
