@@ -89,19 +89,26 @@ def test_all_images_unreadable_degrades_to_nan(tmp_path_factory):
 
 def test_ekf_run_sequence_rejects_unsorted_streams():
     """The binary-search merge requires sorted inputs; an unsorted
-    stream must raise, not silently corrupt the event order."""
+    HOST stream must raise, not silently corrupt the event order.
+    Device arrays skip the check by contract (ADVICE r3: validating
+    them would force a D2H copy of both streams every call; io/euroc.py
+    sorts at load, so host arrays are the path real data takes)."""
     import jax.numpy as jnp
 
     from aria_slam_tpu.config import EkfConfig
     from aria_slam_tpu.fusion import ekf
 
-    imu_t = jnp.array([0.0, 0.2, 0.1, 0.3], jnp.float32)  # inversion
-    vo_t = jnp.array([0.15, 0.25], jnp.float32)
+    imu_t = np.array([0.0, 0.2, 0.1, 0.3], np.float32)  # inversion
+    vo_t = np.array([0.15, 0.25], np.float32)
     z3 = jnp.zeros((4, 3), jnp.float32)
     vo_R = jnp.tile(jnp.eye(3, dtype=jnp.float32), (2, 1, 1))
     vo_p = jnp.zeros((2, 3), jnp.float32)
     with pytest.raises(ValueError, match="not sorted"):
         ekf.run_sequence(imu_t, z3, z3, vo_t, vo_R, vo_p, EkfConfig())
+    # sorted host streams pass the guard and run
+    imu_ok = np.array([0.0, 0.1, 0.2, 0.3], np.float32)
+    poses = ekf.run_sequence(imu_ok, z3, z3, vo_t, vo_R, vo_p, EkfConfig())
+    assert np.all(np.isfinite(np.asarray(poses[0])))
 
 
 def test_photometric_stress_bounded(tmp_path_factory):
