@@ -6,16 +6,16 @@ core feature (src/main.cpp:29-50,164-175) finally exercised with
 semantically-correct detections, not random weights.
 
 Regime (measured, eval/dynamic_benchmark.py defaults: panel size 2.2,
-speed 2.8): the panel covers ~half the view and moves fast enough that
-its features form their OWN epipolar consensus, hijacking RANSAC and
-the track/BA/backbone/graph consumers. The damage shows COHERENTLY in
-rotation RPE — 2.63 deg (clean) -> 15.42 (object, no filter) — while
-scale-aligned ATE at 320x240 is noise-dominated (0.30 -> 0.46).
-Filtering every consumer (both match endpoints; strict, track, and lag
-tiers; keyframe DB) with the scene-trained detector recovers rotation
-to 3.16 deg and the Umeyama scale error from 0.078 to 0.060, with ATE
-parity. Gentler objects (size <= 1.6, speed ~1) are largely rejected by
-the gyro-backed IRLS chain on its own — itself a robustness finding.
+speed 2.8 — see that module's docstring for the r3 vs r4 history): with
+the r4 estimator the gyro-backed IRLS chain holds ROTATION against the
+panel on its own (0.14 deg vs 0.04 clean; the r3 backbone hijack that
+produced 15.4 deg is gone), and the panel's damage lands in the METRIC
+SCALE chain — a coherently-moving plane is epipolar-consistent, so its
+features survive the two-view gates and bias the median-depth pins:
+Umeyama |log s| 0.09 -> 0.48, scale-fixed ATE 0.42 -> 0.78 m. Filtering
+with the scene-trained detector recovers exactly that channel
+(|log s| -> 0.18, scale-fixed ATE -> 0.56 m) — semantics catch what
+geometry cannot.
 
 Runs eval/dynamic_benchmark.run at test scale (one detector training +
 three pipeline runs — the heavyweight test of the suite, same league as
@@ -40,33 +40,46 @@ def report(tmp_path_factory):
 
 def test_moving_object_corrupts(report):
     """Sanity of the experiment: the moving panel degrades the
-    unfiltered run measurably (ATE 1.5x and rotation RPE 5.9x the
-    clean twin, measured)."""
+    unfiltered run measurably. Measured: scale err |log s| 0.09 ->
+    0.48, scale-fixed ATE 1.86x, rotation RPE 3.9x (all vs the
+    object-free twin); gates at roughly half the measured margins."""
     clean = report["clean"]
     off = report["object_nofilter"]
-    assert off["ate_rmse_m"] > clean["ate_rmse_m"] * 1.25
-    assert off["rpe_rot_deg"] > clean["rpe_rot_deg"] * 2.5
+    assert (abs(math.log(off["umeyama_scale"]))
+            > abs(math.log(clean["umeyama_scale"])) + 0.15)
+    assert off["ate_noscale_rmse_m"] > clean["ate_noscale_rmse_m"] * 1.3
+    assert off["rpe_rot_deg"] > clean["rpe_rot_deg"] * 2.0
 
 
 def test_trained_detector_filtering_recovers(report):
-    """Filtering ON with the scene-trained detector recovers the
-    coherent corruption: rotation RPE back near the clean ceiling
-    (15.42 -> 3.16 deg measured), metric scale error not worse, ATE
-    not meaningfully worse."""
+    """Filtering ON with the scene-trained detector recovers the scale
+    channel (the one the geometric stack cannot defend): measured
+    |log s| 0.48 -> 0.18-0.30 and scale-fixed ATE 0.78 -> 0.56-0.66 m.
+    The filtered run varies between processes: this rig's compilation
+    cache holds AOT code compiled for a different machine type (the
+    cpu_aot_loader feature-mismatch warnings), so a run mixing cached
+    and freshly-compiled kernels rounds differently, and 800 training
+    steps amplify that into slightly different detector weights —
+    clean/nofilter involve no detector and reproduce exactly. Gates
+    carry the observed spread: scale error must drop by >= 25% AND
+    land under 0.36 absolute (observed off = 0.48)."""
     off = report["object_nofilter"]
     on = report["object_filtered"]
-    assert on["rpe_rot_deg"] < off["rpe_rot_deg"] * 0.45, (
-        on["rpe_rot_deg"], off["rpe_rot_deg"])
-    assert (abs(math.log(on["umeyama_scale"]))
-            < abs(math.log(off["umeyama_scale"])) + 0.02)
-    assert on["ate_rmse_m"] <= off["ate_rmse_m"] * 1.15 + 0.02
+    s_on = abs(math.log(on["umeyama_scale"]))
+    s_off = abs(math.log(off["umeyama_scale"]))
+    assert s_on < s_off * 0.75 and s_on < 0.36, (s_on, s_off)
+    assert on["ate_noscale_rmse_m"] <= off["ate_noscale_rmse_m"] * 1.05, (
+        on["ate_noscale_rmse_m"], off["ate_noscale_rmse_m"])
+    assert on["ate_rmse_m"] <= off["ate_rmse_m"] * 1.5 + 0.02
 
 
-def test_filtered_rotation_near_clean_ceiling(report):
-    """The filtered run's rotation must approach the object-free twin
-    (the recovery ceiling, 3.16 vs 2.63 deg measured), not just beat
-    the corrupted run."""
+def test_rotation_robust_with_and_without_filter(report):
+    """The r4 geometric stack holds rotation against the panel ON ITS
+    OWN (the r3 backbone-hijack path is gone): both the unfiltered and
+    filtered runs must stay within a small absolute bound of the clean
+    twin — and filtering must not break rotation while fixing scale.
+    Measured: clean 0.04, unfiltered 0.14, filtered 0.19 deg."""
     clean = report["clean"]
-    on = report["object_filtered"]
-    assert on["rpe_rot_deg"] < clean["rpe_rot_deg"] * 1.6 + 0.2, (
-        on["rpe_rot_deg"], clean["rpe_rot_deg"])
+    for name in ("object_nofilter", "object_filtered"):
+        rot = report[name]["rpe_rot_deg"]
+        assert rot < max(clean["rpe_rot_deg"] * 8.0, 0.6), (name, rot)
