@@ -188,6 +188,12 @@ def main():
         sp = report["vo"]["umeyama_scale"]
         si = report["imu"]["umeyama_scale"]
         sv = report["vio"]["umeyama_scale"]
+        # the 'vio' gates read the EKF's OWN trajectory (ate_fused_*):
+        # in chunked mode enable_fusion only adds the fused metrics, so
+        # the unfused numbers of 'vio' are bit-identical to 'imu' and
+        # gating on them would never test the EKF (review r4)
+        fused_ns = report["vio"].get("ate_fused_noscale_rmse_m")
+        fused_raw = report["vio"].get("ate_fused_raw_rmse_m")
         report["ordering"] = {
             # the vi_init ablation: accelerometer beats the wrong prior
             "imu_scale_closer_to_metric":
@@ -196,15 +202,21 @@ def main():
                 bool(report["imu"]["ate_noscale_rmse_m"]
                      < report["vo"]["ate_noscale_rmse_m"]),
             # the full VIO stack, gated MUST-IMPROVE (VERDICT r3 #2):
-            # metric recovered to within 5% and scale-fixed ATE strictly
-            # below the visual-only wrong-prior baseline
+            # metric recovered to within 5% (the chain the EKF consumes)
+            # and the EKF's fused trajectory strictly below the
+            # visual-only wrong-prior baseline on BOTH unaligned metrics
             "vio_scale_metric_5pct": bool(abs(np.log(sv)) < 0.05),
-            "vio_noscale_ate_strictly_better":
-                bool(report["vio"]["ate_noscale_rmse_m"]
-                     < report["vo"]["ate_noscale_rmse_m"]),
-            "vio_raw_ate_strictly_better":
-                bool(report["vio"]["ate_raw_rmse_m"]
-                     < report["vo"]["ate_raw_rmse_m"]),
+            "vio_fused_noscale_ate_strictly_better":
+                bool(fused_ns is not None
+                     and fused_ns < report["vo"]["ate_noscale_rmse_m"]),
+            "vio_fused_raw_ate_strictly_better":
+                bool(fused_raw is not None
+                     and fused_raw < report["vo"]["ate_raw_rmse_m"]),
+            # EKF smoothing must not harm the scale-corrected chain
+            "vio_fused_not_worse_than_imu":
+                bool(fused_ns is not None
+                     and fused_ns <= report["imu"]["ate_noscale_rmse_m"]
+                     * 1.10 + 0.01),
         }
         with open(os.path.join(args.out, "report.json"), "w") as f:
             json.dump(report, f, indent=1)
@@ -235,11 +247,17 @@ def main():
         # metric-scale integrity under loop closure (VERDICT r3 #3):
         # loop edges must not drag the global scale (r3: 1.186 -> 1.334)
         # or degrade the scale-fixed error
-        "lc_scale_within_5pct_of_vio":
-            bool(abs(np.log(s_lc / s_vio)) < 0.05),
-        "lc_noscale_not_worse":
-            report["vio_lc"].get("ate_noscale_rmse_m", 1e9)
-            <= report["vio"].get("ate_noscale_rmse_m", 0.0) * 1.05 + 0.01,
+        "lc_scale_within_5pct_of_vio": (
+            bool(abs(np.log(s_lc / s_vio)) < 0.05)
+            if np.isfinite(s_lc) and np.isfinite(s_vio) else None),
+        # None (not False) when the scene had too few GT associations
+        # to produce the metric — a missing measurement must not
+        # masquerade as a confident failure (review r4)
+        "lc_noscale_not_worse": (
+            bool(report["vio_lc"]["ate_noscale_rmse_m"]
+                 <= report["vio"]["ate_noscale_rmse_m"] * 1.05 + 0.01)
+            if ("ate_noscale_rmse_m" in report["vio_lc"]
+                and "ate_noscale_rmse_m" in report["vio"]) else None),
         "loops_found": report["vio_lc"]["loops"],
     }
     report["ordering"] = ordering

@@ -654,9 +654,12 @@ class ChunkedSlam:
         # ---- fused post-chunk state commit: chain extension +
         # keyframe-DB insert + map triangulation in ONE donated program
         # (each dispatch costs ~38 ms through the relay; this was 3).
-        # Inserting keyframes BEFORE the loop query below is safe: the
-        # candidate gap gate (loop.min_frames_between, default 200)
-        # excludes everything this insert wrote.
+        # The loop-closure query is DISPATCHED first so it reads the
+        # pre-insert DB: at capacity the insert evicts the c oldest
+        # keyframes — precisely the likeliest revisit targets — and the
+        # donation dependency guarantees the query's read completes
+        # before the insert clobbers the buffer. (For candidates the
+        # gap gate would exclude this chunk's own rows either way.)
         first_node = self.frame_count
         chain_rwt = (cfg.pose_graph.gyro_rot_weight
                      if use_gyro and bool(np.all(gyro_ok)) else 1.0)
@@ -667,21 +670,29 @@ class ChunkedSlam:
             "rwt": jnp.asarray(chain_rwt, jnp.float32),
         }
         fids = None
+        lc_pending = None
         head_before = self._db_head
         if cfg.enable_loop_closure:
             # global frame index of each 'cur' frame; node id == frame
             # id in the chunked graph (frame 0 is node 0)
             fids = jnp.asarray(self.frame_count + np.arange(c), jnp.int32)
+            with self._st("loop_query"):  # dispatch-only (forced below)
+                lc_pending = self._lc_query(self.db, out["hists"], fids,
+                                            out["desc"], out["dvalid"])
             a.update(desc=out["desc"], xy=out["xy"], dvalid=out["dvalid"],
                      fids=fids)
         if cfg.enable_mapping:
-            # mapping over lag pairs (i-lag, i): camera-from-world ends
+            # mapping over lag pairs (i-lag, i): camera-from-world ends.
+            # poses_np is the BA-REFINED chain (review r4: the old code
+            # built these from the pre-BA `poses` list, triangulating
+            # every map point from cameras displaced by the full BA
+            # correction relative to the exported trajectory)
             lag = self.lag
-            all_poses = [self.trajectory[-1][1]] + poses  # i <-> frame k0+i
+            all_poses = np.concatenate([T_start[None], poses_np], 0)
             a.update(
                 T1=jnp.asarray(
-                    np.linalg.inv(np.stack(all_poses[: c + 1 - lag]))),
-                T2=jnp.asarray(np.linalg.inv(np.stack(all_poses[lag:]))),
+                    np.linalg.inv(all_poses[: c + 1 - lag])),
+                T2=jnp.asarray(np.linalg.inv(all_poses[lag:])),
                 uv1=out["uvl_prev"], uv2=out["uvl_cur"], lv=out["lvalid"],
                 frames_lag=fr[lag:])
         with self._st("state_update"):  # dispatch-only (forced later)
@@ -770,12 +781,12 @@ class ChunkedSlam:
 
         # ---- loop closure (prefilter chunk, verify best candidates).
         # Histogram prefilter + exact candidate scoring ride ONE fused
-        # program (lc_query) — one relay dispatch, not two.
+        # program (lc_query, dispatched above against the pre-insert DB)
+        # — one relay dispatch, not two.
         if cfg.enable_loop_closure:
             with self._st("loop_query"):
-                sims, slots, scores_dev = self._lc_query(
-                    self.db, out["hists"], fids, out["desc"], out["dvalid"])
-                sims = np.asarray(sims)
+                sims, slots, scores_dev = lc_pending
+                sims = np.asarray(sims)  # forces query + state commit
             loop_found = False
             accepted_pairs: list = []  # (chunk fidx, matched DB slot)
             if (sims[:, 0] > 0).any():
@@ -791,6 +802,7 @@ class ChunkedSlam:
                 sel = [p for p in flat_order
                        if scores.ravel()[p] >= cfg.loop.min_score]
                 if sel:
+                    cap_ = int(self.cfg.loop.max_keyframes)
                     fidx = np.zeros(VERIFY_MAX, np.int32)
                     sl = np.zeros(VERIFY_MAX, np.int32)
                     live = np.zeros(VERIFY_MAX, bool)
@@ -798,7 +810,13 @@ class ChunkedSlam:
                         i, j = np.unravel_index(p, scores.shape)
                         fidx[n_] = i
                         sl[n_] = slots_np[i, j]
-                        live[n_] = True
+                        # the query ran on the pre-insert DB but verify
+                        # gathers from the post-insert one: a candidate
+                        # slot this chunk's insert overwrote (ring at
+                        # capacity) now holds a DIFFERENT keyframe —
+                        # verifying against it could admit a wrong,
+                        # 10x-weighted edge. Drop those pairs.
+                        live[n_] = (sl[n_] - head_before) % cap_ >= c
                     with self._st("loop_verify"):
                         passed, _, T_rels, twts = self._lc_verify_batch(
                             self.db, out["desc"], out["xy"], out["dvalid"],
@@ -910,11 +928,18 @@ class ChunkedSlam:
         FrameState path is utils/snapshot.py). One npz: device pytrees
         (pose graph, keyframe DB, map), the scale carry, host scalars,
         the trajectory so far, and the IMU scale-estimator window."""
+        import dataclasses as _dc
+
         arrays = {}
         for name in self._SNAP_TREES:
-            leaves, _ = jax.tree_util.tree_flatten(getattr(self, name))
-            for i, x in enumerate(leaves):
-                arrays[f"{name}_{i}"] = np.asarray(x)
+            obj = getattr(self, name)
+            # keyed by FIELD NAME, not leaf position: adding a field to
+            # a state dataclass (r4: KeyframeDB.covis) must not
+            # invalidate every earlier snapshot (review r4 — the old
+            # positional db_{i} keys made restore() KeyError on any
+            # pre-covis file)
+            for f in _dc.fields(obj):
+                arrays[f"{name}.{f.name}"] = np.asarray(getattr(obj, f.name))
         arrays["zlast"] = np.asarray(self._zlast)
         arrays["mlast"] = np.asarray(self._mlast)
         arrays["rng"] = np.asarray(jax.random.key_data(self._key))
@@ -951,13 +976,34 @@ class ChunkedSlam:
     def restore(self, path: str) -> None:
         """Restore a snapshot() into this evaluator (same config —
         shapes must match; mismatches fail loudly on reshape)."""
+        import dataclasses as _dc
+
         data = np.load(path)
         for name in self._SNAP_TREES:
             tmpl = getattr(self, name)
-            leaves, tdef = jax.tree_util.tree_flatten(tmpl)
-            new = [jnp.asarray(data[f"{name}_{i}"])
-                   for i in range(len(leaves))]
-            setattr(self, name, jax.tree_util.tree_unflatten(tdef, new))
+            fields = _dc.fields(tmpl)
+            if f"{name}.{fields[0].name}" in data:
+                # name-keyed format: fields absent from the file keep
+                # their freshly-initialized value (e.g. covis == no
+                # recorded covisibility in a pre-r4 snapshot)
+                upd = {f.name: jnp.asarray(data[f"{name}.{f.name}"])
+                       for f in fields if f"{name}.{f.name}" in data}
+                setattr(self, name, tmpl.replace(**upd))
+            else:
+                # legacy positional format (pre name-keying): loadable
+                # only while the leaf count still matches
+                leaves, tdef = jax.tree_util.tree_flatten(tmpl)
+                try:
+                    new = [jnp.asarray(data[f"{name}_{i}"])
+                           for i in range(len(leaves))]
+                except KeyError as e:
+                    raise ValueError(
+                        f"snapshot {path!r} uses the legacy positional "
+                        f"layout and the {name} state has since gained "
+                        f"fields — re-create the snapshot with this "
+                        f"version") from e
+                setattr(self, name,
+                        jax.tree_util.tree_unflatten(tdef, new))
         self._zlast = jnp.asarray(data["zlast"])
         self._mlast = jnp.asarray(data["mlast"])
         self._key = jax.random.wrap_key_data(jnp.asarray(data["rng"]))

@@ -22,7 +22,8 @@ import numpy as np
 def run(video_path: str, headless: bool = True, detect: bool = False,
         max_frames: int | None = None, out_path: str | None = None,
         config=None) -> dict:
-    import cv2
+    from aria_slam_tpu.io.euroc import _require_cv2
+    cv2 = _require_cv2()
 
     from aria_slam_tpu.config import CameraConfig, PipelineConfig
     from aria_slam_tpu.pipeline import factory

@@ -204,11 +204,14 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
         lo = np.searchsorted(data.imu_ts, est_ts[0])
         hi = np.searchsorted(data.imu_ts, est_ts[-1], side="right")
         vo_R = np.array([T[:3, :3] for _, T in pipe.trajectory], np.float32)
+        # timestamps stay HOST arrays so run_sequence's sortedness
+        # guard actually runs (it skips device arrays — validating
+        # those would force a D2H copy of the whole stream)
         fused_p, _ = ekf_mod.run_sequence(
-            jnp.asarray((data.imu_ts[lo:hi] - t0_seq).astype(np.float32)),
+            (data.imu_ts[lo:hi] - t0_seq).astype(np.float32),
             jnp.asarray(data.imu_accel[lo:hi].astype(np.float32)),
             jnp.asarray(data.imu_gyro[lo:hi].astype(np.float32)),
-            jnp.asarray((est_ts - t0_seq).astype(np.float32)),
+            (est_ts - t0_seq).astype(np.float32),
             jnp.asarray(vo_R),
             jnp.asarray(est_pos.astype(np.float32)),
             config.ekf,

@@ -25,9 +25,11 @@ def run(duration_s: float = 10.0, imu_hz: float = 200.0, vo_hz: float = 20.0,
     vo_R = data["gt_rot"](vo_t).astype(np.float32)
     vo_p = data["gt_pos"](vo_t).astype(np.float32)
 
+    # host timestamps: keeps run_sequence's sortedness guard live
+    # (device arrays skip it to avoid a full-stream D2H copy)
     pos, quat = ekf.run_sequence(
-        jnp.asarray(data["imu_t"]), jnp.asarray(data["accel"]),
-        jnp.asarray(data["gyro"]), jnp.asarray(vo_t), jnp.asarray(vo_R),
+        np.asarray(data["imu_t"], np.float32), jnp.asarray(data["accel"]),
+        jnp.asarray(data["gyro"]), np.asarray(vo_t), jnp.asarray(vo_R),
         jnp.asarray(vo_p), EkfConfig(),
     )
     pos = np.asarray(pos)

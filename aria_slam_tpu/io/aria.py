@@ -82,7 +82,8 @@ class MockAriaDevice:
     def get_calibration(self, camera_id: str) -> Optional[AriaCalibration]:
         if not self._paths:
             return None
-        import cv2
+        from aria_slam_tpu.io.euroc import _require_cv2
+        cv2 = _require_cv2()
 
         img = cv2.imread(self._paths[0], cv2.IMREAD_GRAYSCALE)
         h, w = img.shape
@@ -97,7 +98,8 @@ class MockAriaDevice:
         self._thread.start()
 
     def _loop(self) -> None:
-        import cv2
+        from aria_slam_tpu.io.euroc import _require_cv2
+        cv2 = _require_cv2()
 
         t0 = time.time()
         for k, path in enumerate(self._paths):

@@ -72,7 +72,8 @@ def _warp_plane(cam: CameraConfig, tex, corners_world, R_wc, pos):
     """Warp a texture onto the quad `corners_world` ((4,3), CCW) via the
     exact plane homography. Returns (img, mask) or None if the quad is
     behind the camera."""
-    import cv2
+    from aria_slam_tpu.io.euroc import _require_cv2
+    cv2 = _require_cv2()
 
     R_cw = np.asarray(R_wc).T
     t_cw = -R_cw @ np.asarray(pos)
@@ -253,7 +254,8 @@ def generate(
     the trajectory period — breaks brightness-constancy assumptions);
     motion_blur: horizontal box-blur kernel width in px (approximates
     pan blur)."""
-    import cv2
+    from aria_slam_tpu.io.euroc import _require_cv2
+    cv2 = _require_cv2()
 
     cam = cam or CameraConfig(k1=0.0, k2=0.0, p1=0.0, p2=0.0)  # no distortion
     tex = _texture(seed=seed)

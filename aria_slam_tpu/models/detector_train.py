@@ -177,7 +177,8 @@ def make_scene_batch(rng: np.random.Generator, frames, boxes, batch: int,
     (x1,y1,x2,y2) or None. Light augmentation (flip + brightness/
     contrast jitter) — the detector only needs to generalize across the
     object's own pose changes within one scene."""
-    import cv2
+    from aria_slam_tpu.io.euroc import _require_cv2
+    cv2 = _require_cv2()
 
     h, w = frames[0].shape
     imgs = np.zeros((batch, size, size, 3), np.float32)

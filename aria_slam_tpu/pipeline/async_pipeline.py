@@ -48,7 +48,8 @@ class AsyncSlamPipeline:
 
     # -- stages (called from native worker threads)
     def _decode(self, item_id: int):
-        import cv2
+        from aria_slam_tpu.io.euroc import _require_cv2
+        cv2 = _require_cv2()
 
         it = self._items[item_id]
         if "bytes" in it:

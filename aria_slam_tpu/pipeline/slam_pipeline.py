@@ -274,10 +274,16 @@ def make_frame_step(
             # the covisibility graph (the current frame just landed at
             # the pre-insert head slot). No-op self-link when no loop.
             cur_slot = state.db.head
-            a = jnp.where(loop.detected, loop.slot, cur_slot)
+            # at capacity the insert just evicted the OLDEST keyframe —
+            # which can be exactly loop.slot (oldest passes the gap gate
+            # easiest). Linking then would write a covis[cur, cur]
+            # self-edge against a keyframe that no longer exists, so
+            # gate the link on the matched slot surviving the insert.
+            link = loop.detected & (loop.slot != cur_slot)
+            a = jnp.where(link, loop.slot, cur_slot)
             db_new = db_new.replace(
-                covis=db_new.covis.at[a, cur_slot].max(loop.detected)
-                                  .at[cur_slot, a].max(loop.detected))
+                covis=db_new.covis.at[a, cur_slot].max(link)
+                                  .at[cur_slot, a].max(link))
         else:
             loop = LoopResult(
                 detected=jnp.asarray(False),

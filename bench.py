@@ -27,7 +27,12 @@ Resilience (VERDICT r3 missing #1): the round-3 driver bench died with
 transient relay failure. Backend init is now probed in a SUBPROCESS
 with bounded retry/backoff (a failed in-process init poisons JAX's
 backend cache), with diagnostics on stderr distinguishing tunnel
-contention from a genuinely dead backend.
+contention from a genuinely dead backend. The probe runs from an
+interpreter that holds NO tunnel session itself (three-phase re-exec,
+see __main__) — otherwise the probe child queues behind its own
+parent's interpreter-start session claim and times out on a healthy
+backend — and requires a non-CPU device so a CPU-fallback child can't
+fake a pass.
 
 Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -63,35 +68,41 @@ def _log(msg: str) -> None:
           flush=True)
 
 
-def wait_for_backend() -> None:
+def wait_for_backend(pool_ips: str) -> None:
     """Probe device init in a subprocess with retry/backoff.
 
     A subprocess keeps the parent's JAX import pristine: if the first
     in-process jax.devices() raised UNAVAILABLE, the failed backend
     would be cached for the life of the process. The probe child holds
-    a relay session only for its own (bounded) lifetime.
+    a relay session only for its own (bounded) lifetime — and the
+    PARENT holds none at all (the probe phase re-execs with
+    PALLAS_AXON_POOL_IPS unset, see __main__): a probe queued behind
+    its own parent's interpreter-start session claim would time out
+    forever on a healthy backend (review r4).
     """
-    if os.environ.get("JAX_PLATFORMS") == "cpu":
-        _log("JAX_PLATFORMS=cpu — skipping TPU backend probe")
-        return
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # let the child pick the TPU backend
+    env["PALLAS_AXON_POOL_IPS"] = pool_ips
     last = ""
     for attempt in range(1, PROBE_ATTEMPTS + 1):
         t0 = time.time()
         try:
             r = subprocess.run(
                 [sys.executable, "-c",
-                 "import jax; print('DEVICES', jax.devices())"],
+                 "import jax; ds = jax.devices(); "
+                 "print('DEVICES', ds, 'PLATFORM', ds[0].platform)"],
                 capture_output=True, text=True, timeout=PROBE_TIMEOUT_S,
                 env=env)
             out = (r.stdout + "\n" + r.stderr).strip()
-            if "DEVICES" in out:
+            # a CPU-fallback child proves nothing about the TPU relay
+            if "DEVICES" in out and "PLATFORM cpu" not in out:
                 _log(f"backend up after {attempt} probe(s) "
                      f"({time.time() - t0:.0f}s)")
                 return
             last = out.splitlines()[-1] if out else "empty probe output"
-            kind = ("relay/tunnel UNAVAILABLE (transient or another "
+            kind = ("child fell back to CPU — axon plugin absent/broken"
+                    if "DEVICES" in out else
+                    "relay/tunnel UNAVAILABLE (transient or another "
                     "process holds the tunnel session)"
                     if "UNAVAILABLE" in out else "backend init error")
             _log(f"probe {attempt}/{PROBE_ATTEMPTS} failed in "
@@ -205,6 +216,40 @@ def main(detector_on: bool = True):
     }))
 
 
+def _reexec(env: dict) -> None:
+    os.execve(sys.executable,
+              [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+              env)
+
+
 if __name__ == "__main__":
-    wait_for_backend()
-    main(detector_on="--no-detector" not in sys.argv)
+    # three-phase startup so the probe never races our own tunnel claim
+    # (the axon sitecustomize claims a relay session at interpreter
+    # start whenever PALLAS_AXON_POOL_IPS is set — a probe child would
+    # queue behind it, see CLAUDE.md):
+    #   1. launched normally with the pool var -> re-exec WITHOUT it
+    #      (this interpreter holds no session),
+    #   2. probe the relay via bounded children, then re-exec WITH the
+    #      pool var restored,
+    #   3. the fresh interpreter claims the (verified-up) tunnel and
+    #      runs the benchmark.
+    phase = os.environ.get("BENCH_PHASE")
+    pool = os.environ.get("PALLAS_AXON_POOL_IPS")
+    if os.environ.get("JAX_PLATFORMS") == "cpu" or (
+            phase is None and pool is None):
+        if phase is None:
+            _log("no tunnel env / CPU pinned — running without probe")
+        main(detector_on="--no-detector" not in sys.argv)
+    elif phase is None:
+        env = dict(os.environ)
+        env["BENCH_POOL_IPS"] = env.pop("PALLAS_AXON_POOL_IPS")
+        env["BENCH_PHASE"] = "probe"
+        _reexec(env)
+    elif phase == "probe":
+        wait_for_backend(os.environ["BENCH_POOL_IPS"])
+        env = dict(os.environ)
+        env["PALLAS_AXON_POOL_IPS"] = env.pop("BENCH_POOL_IPS")
+        env["BENCH_PHASE"] = "run"
+        _reexec(env)
+    else:  # "run"
+        main(detector_on="--no-detector" not in sys.argv)
