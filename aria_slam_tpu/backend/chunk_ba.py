@@ -313,7 +313,20 @@ def refine(poses_init, fxy, fvalid, midx, cinl, K,
     (F = chunk + 1 incl. the overlap frame). fxy/fvalid: (F, N)
     undistorted keypoints. midx/cinl: (F-1, N) consecutive-pair match
     indices and inlier flags (see build_tracks). Returns (poses,
-    mean_reproj_px_before, mean_reproj_px_after).
+    mean_reproj_px_before, mean_reproj_px_after, geo_depth, depth_cnt).
+
+    geo_depth/depth_cnt: the multi-view landmark-depth PIN statistic —
+    masked geometric-mean camera-frame depth over well-conditioned
+    observations (>= 3-frame tracks, in-gate, positive depth) of the
+    final reconstruction, and the observation count behind it. Two-view
+    pair depths at consecutive-frame baselines (~2% b/z) carry a
+    resolution-dependent multiplicative bias (r4 edge audits: +21% on
+    the low-res rotloop) because the triangulation noise is huge and
+    asymmetric; landmarks triangulated from every frame of the chunk
+    see up to a chunk-length baseline and land far closer to the true
+    depth distribution, so pinning the chain's metric on THIS geomean
+    (eval/chunked.py ba_scale_pin) removes most of the prior-pin
+    lottery that config.vo_scene_depth otherwise suffers.
     """
     f, n = fvalid.shape
     num_l = f * n
@@ -357,6 +370,44 @@ def refine(poses_init, fxy, fvalid, midx, cinl, K,
     s = len_init / jnp.maximum(len_ref, 1e-9)
     poses = poses.at[:, :3, 3].set(p_ref[0] + s * (p_ref - p_ref[0]))
 
-    Xf, _ = triangulate_tracks(poses, fxy, w_obs, ids, K, num_l)
+    Xf, cntf = triangulate_tracks(poses, fxy, w_obs, ids, K, num_l)
     err_after = mean_err(poses, Xf)
-    return poses, err_before, err_after
+
+    # multi-view landmark-depth pin statistic (see docstring): geomean
+    # depth of the final reconstruction, PER LANDMARK and gated on ray
+    # conditioning, in the chain's current metric (the scale repin above
+    # keeps the refined poses on the chain's path length).
+    #
+    # Gating matters more than the estimator: a naive per-observation
+    # geomean is dominated by near-parallel-ray tracks whose midpoint
+    # depths scatter to the clip rails asymmetrically (measured on the
+    # low-res rotloop: umeyama 0.58 -> 0.36, i.e. WORSE than the
+    # two-view pin). The conditioning proxy is the ray spread
+    # s2 = cnt - |sum d|^2 / cnt ~= sum_i sin^2(angle to the mean ray):
+    # exactly the smallest-eigenvalue direction of the midpoint normal
+    # matrix sum(I - d d^T), i.e. how observable the depth actually is.
+    uvf, zf, _ = _project(poses, Xf[ids], K)
+    rnf = jnp.linalg.norm(uvf - fxy, axis=-1)
+    well = ((w_obs > 0) & (zf > cfg.min_depth) & (rnf < cfg.gate_px)
+            & ((cntf >= 3.0 - 1e-3)[ids]))
+    wellf = well.astype(jnp.float32)
+    d, _ = _cam_rays_world(poses, fxy, K)
+    flat = ids.reshape(-1)
+    ocnt = jnp.zeros((num_l,), jnp.float32).at[flat].add(wellf.reshape(-1))
+    dsum = jnp.zeros((num_l, 3), jnp.float32).at[flat].add(
+        (d * wellf[..., None]).reshape(-1, 3))
+    s2 = ocnt - jnp.sum(dsum * dsum, -1) / jnp.maximum(ocnt, 1.0)
+    lzsum = jnp.zeros((num_l,), jnp.float32).at[flat].add(
+        jnp.where(well, jnp.log(jnp.clip(zf, 1e-3, 1e4)), 0.0).reshape(-1))
+    lz = lzsum / jnp.maximum(ocnt, 1.0)                # per-landmark log z
+    # s2 >= 3e-3 ~= a 3-degree total ray spread: below it the midpoint
+    # depth is noise (2% per-frame baselines need ~3+ well-spread views)
+    lm_ok = (ocnt >= 3.0 - 1e-3) & (s2 >= 3e-3) & jnp.isfinite(lz)
+    zcnt = jnp.sum(lm_ok.astype(jnp.float32))
+    # aggregate across landmarks with the robust log-median (same
+    # rationale as epipolar.pin_scale: small-depth outlier landmarks
+    # from surviving mismatches drag a mean-based statistic)
+    from aria_slam_tpu.ops.epipolar import masked_log_median
+
+    geo_z, _ = masked_log_median(jnp.exp(lz), lm_ok)
+    return poses, err_before, err_after, geo_z, zcnt

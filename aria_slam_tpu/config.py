@@ -272,6 +272,21 @@ class PipelineConfig:
     # pose_graph.backbone_weight > 0 (the lag-pair RANSAC rides the
     # backbone block).
     vo_backbone_scale: bool = False
+    # pin the chain's metric on the chunk-BA landmark depths instead of
+    # the two-view pair depths: landmarks triangulated from EVERY frame
+    # of the chunk see up to a chunk-length baseline, so their geomean
+    # depth carries far less of the two-view pin's multiplicative bias
+    # The correction is an EMA'd multiplicative factor on the chain
+    # metric (eval/chunked.py) — still a PRIOR pin (geomean landmark
+    # depth == vo_scene_depth); the accelerometer (imu_metric_scale)
+    # remains the absolute-scale source and composes on top. Needs
+    # chunk_ba.enabled and a metric vo_scale_mode. DEFAULT OFF: measured
+    # on the low-res rotloop the multi-view statistic reads depths ~13%
+    # smaller than the two-view pin even with per-landmark ray-spread
+    # conditioning gates (umeyama 0.58 -> 0.51) — the midpoint depths of
+    # short low-parallax tracks bias small. Kept as an A/B lever; see
+    # chunk_ba.refine for the statistic.
+    ba_scale_pin: bool = False
     # backbone edge translation magnitude source: "chain" copies the
     # chain's displacement over the lag window — the backbone edge then
     # contributes its superior wide-baseline DIRECTION without fighting

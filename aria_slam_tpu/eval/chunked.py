@@ -38,6 +38,15 @@ VIS_SCALE_GAIN = 0.5
 VIS_SCALE_CLAMP = (0.5, 2.0)
 VIS_SCALE_MIN_PAIRS = 4
 
+# multi-view landmark-depth scale pin (config.ba_scale_pin): per-chunk
+# log-EMA gain toward scene_depth / geomean(BA landmark depth), the
+# per-chunk target clamp, and the minimum count of well-conditioned
+# landmarks (>= 3-frame tracks with >= 3 deg ray spread — see
+# chunk_ba.refine) before a chunk's statistic counts.
+BA_PIN_GAIN = 0.5
+BA_PIN_CLAMP = (0.5, 2.0)
+BA_PIN_MIN_LANDMARKS = 50.0
+
 
 class ChunkedSlam:
     """Offline chunked evaluator; mirrors the SlamPipeline results
@@ -421,6 +430,8 @@ class ChunkedSlam:
         # wide-baseline (backbone) scale correction — see config
         # .vo_backbone_scale; composes multiplicatively with _imu_corr
         self._vis_corr = 1.0
+        # multi-view landmark-depth pin correction (config.ba_scale_pin)
+        self._ba_corr = 1.0
         # VINS-style retroactive metric rebase: when the IMU correction
         # jumps (first alignment, or a later >2% EMA move), the whole
         # RECORDED state — graph node/edge translations, keyframe poses,
@@ -456,7 +467,7 @@ class ChunkedSlam:
         mode = self.cfg.vo_scale_mode
         if mode == "unit":
             return np.ones(c, np.float32)
-        corr = self._imu_corr * self._vis_corr
+        corr = self._imu_corr * self._vis_corr * self._ba_corr
         pins = np.asarray(out["pins"])
         if mode == "median_depth":
             return np.clip(pins * corr, 1e-4, 1e4)
@@ -518,8 +529,14 @@ class ChunkedSlam:
             self.trajectory.append((timestamps[0], self.T.copy()))
             self.frame_count = 1
 
-        # ---- metric scale per pair (host chain over device statistics)
+        # ---- metric scale per pair (host chain over device statistics).
+        # corr_before: the TOTAL correction these scales were built with
+        # (IMU x wide-baseline x BA pin) — every correction update below
+        # (BA pin, IMU alignment, backbone factor) lands retroactively
+        # via the rebase at the end of this method, and the loop verify
+        # keys its metric off this value.
         scales = self._chain_scales(out, c)
+        corr_before = self._imu_corr * self._vis_corr * self._ba_corr
 
         # ---- accumulate world poses on host (4x4 chain, trivial).
         # Edge measurements come from the MEASURED deltas, not from pose
@@ -572,6 +589,8 @@ class ChunkedSlam:
             W = c if c <= 32 else 16
             refined = poses_all.copy()
             all_finite = True
+            zlog_sum = 0.0  # BA landmark-depth pin accumulators
+            zcnt_sum = 0.0
             for s in range(0, c, W):
                 e = min(s + W, c)
                 rl = e - s
@@ -603,12 +622,21 @@ class ChunkedSlam:
                     mi_in = out["midx"][jnp.asarray(pidx)]
                     ci_in = out["cinl"][jnp.asarray(pidx)] & pad_p[:, None]
                 end_before = refined[e].copy()
-                r_win, err_b, err_a = self._ba(
+                r_win, err_b, err_a, geo_z, zcnt = self._ba(
                     poses_in, fxy_in, fv_in, mi_in, ci_in, rs)
                 r_win = np.asarray(r_win)[:rl + 1]
                 if not np.all(np.isfinite(r_win)):
                     all_finite = False
                     break
+                # fetch the pin statistic ONLY when the lever is on:
+                # each host fetch is a full relay roundtrip (~26 ms on
+                # chip, DISPATCH_FLOOR_TPU.json) and would tax every BA
+                # window of every run otherwise
+                if cfg.ba_scale_pin and cfg.vo_scale_mode != "unit":
+                    gz, zc = float(geo_z), float(zcnt)
+                    if np.isfinite(gz) and gz > 0 and zc > 0:
+                        zlog_sum += np.log(gz) * zc
+                        zcnt_sum += zc
                 # chain the window's end-pose correction into all later
                 # poses so the next window starts from the refined chain
                 refined[s:e + 1] = r_win
@@ -622,6 +650,24 @@ class ChunkedSlam:
                     "nij,njk->nik", np.linalg.inv(refined[:-1]), refined[1:]
                 ).astype(np.float32)
                 self.T = poses_np[-1].copy()
+                # multi-view landmark-depth pin (config.ba_scale_pin):
+                # the BA landmark geomean depth, measured in the chain's
+                # CURRENT metric, divided by corr_before gives the raw
+                # pin-metric statistic — a correction-invariant constant
+                # whose target correction is scene_depth / that geomean
+                # (EMA toward it; see BA_PIN_* above). Still a prior pin
+                # (assumes the typical landmark depth == vo_scene_depth)
+                # but conditioned by up-to-chunk-length baselines instead
+                # of the biased ~2% two-view ones.
+                if (cfg.ba_scale_pin and cfg.vo_scale_mode != "unit"
+                        and zcnt_sum >= BA_PIN_MIN_LANDMARKS):
+                    geo_raw = np.exp(zlog_sum / zcnt_sum) / corr_before
+                    target = float(np.clip(
+                        cfg.vo_scene_depth / max(geo_raw, 1e-6),
+                        *BA_PIN_CLAMP))
+                    self._ba_corr = float(np.exp(
+                        (1.0 - BA_PIN_GAIN) * np.log(self._ba_corr)
+                        + BA_PIN_GAIN * np.log(target)))
             ba_cm.__exit__(None, None, None)
         self._chunk_scales = scales  # for the loop-verify call below
 
@@ -629,11 +675,8 @@ class ChunkedSlam:
         # poses; the updated correction applies from the NEXT chunk on
         # (the estimator's tag bookkeeping keeps the window consistent),
         # plus a retroactive rebase of the recorded state at the end of
-        # this method when the correction moved by > 2%. corr_before is
-        # the TOTAL correction this chunk's scales were built with
-        # (IMU x wide-baseline) — the loop verify below and the retro
-        # check both key off it.
-        corr_before = self._imu_corr * self._vis_corr
+        # this method when the correction moved by > 2% (corr_before,
+        # captured above, is the metric these poses carry).
         if (cfg.imu_metric_scale and imu_window is not None
                 and cfg.vo_scale_mode != "unit"):
             with self._st("imu_scale"):
@@ -881,12 +924,13 @@ class ChunkedSlam:
         self.frame_count += c
 
         # ---- VINS-style retroactive metric rebase (see __init__): the
-        # correction estimates (IMU alignment AND the wide-baseline
-        # factor) apply to the WHOLE raw chain, so a jump rescales
-        # everything already recorded — without this, every frame
-        # before the first alignment (~50 frames of warm-up window)
-        # would keep the wrong prior metric
-        ratio = (self._imu_corr * self._vis_corr) / corr_before
+        # correction estimates (IMU alignment, the wide-baseline factor
+        # AND the BA landmark-depth pin) apply to the WHOLE raw chain,
+        # so a jump rescales everything already recorded — without
+        # this, every frame before the first alignment (~50 frames of
+        # warm-up window) would keep the wrong prior metric
+        ratio = (self._imu_corr * self._vis_corr
+                 * self._ba_corr) / corr_before
         if abs(ratio - 1.0) > 0.02:
             self._retro_rescale(ratio)
 
@@ -947,7 +991,8 @@ class ChunkedSlam:
         arrays["counters"] = np.array(
             [self.frame_count, self.num_loops, self._db_head], np.int64)
         arrays["scales"] = np.array(
-            [self._scale, self._imu_corr, self._vis_corr], np.float64)
+            [self._scale, self._imu_corr, self._vis_corr, self._ba_corr],
+            np.float64)
         arrays["traj_ts"] = np.array(
             [t for t, _ in self.trajectory], np.float64)
         arrays["traj_T"] = (np.stack([T for _, T in self.trajectory])
@@ -1017,6 +1062,8 @@ class ChunkedSlam:
         self._imu_corr = float(data["scales"][1])
         self._vis_corr = (float(data["scales"][2])
                           if data["scales"].shape[0] > 2 else 1.0)
+        self._ba_corr = (float(data["scales"][3])
+                         if data["scales"].shape[0] > 3 else 1.0)
         self.trajectory = [(float(t), T) for t, T in
                            zip(data["traj_ts"], data["traj_T"])]
         if "est_state" in data:

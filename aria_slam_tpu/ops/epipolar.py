@@ -435,10 +435,54 @@ def geomean_ratio(num, den, mask):
     return jnp.exp(mean), cnt
 
 
+def masked_log_median(z, mask, lo: float = -6.9, hi: float = 9.2,
+                      bins: int = 256):
+    """Approximate masked median of z in log space -> (median, count).
+
+    A 256-bin histogram of log z + cumsum + within-bin interpolation:
+    fixed-shape, one small scatter-add, no sort (lax.top_k/sort lower
+    to a full sort network on this stack — CLAUDE.md). Bin width is
+    ~6.3% in depth; linear interpolation inside the bin brings the
+    quantization error to ~1-2%, far below the statistic's own noise.
+
+    Robust-statistic utility for depth pinning experiments (the
+    ba_scale_pin lever aggregates per-landmark depths with it). NOTE:
+    switching pin_scale itself to this median was measured to NOT fix
+    the low-res pin bias (umeyama 0.58 -> 0.48, slightly worse than the
+    geomean): a GT-pose probe showed the matched-feature population is
+    fine (geomean 4.19 vs the 4.0 prior) and the bias lives in
+    triangulating under the ESTIMATED translation direction (~70 deg
+    direction noise at 2% baselines inflates apparent parallax, so the
+    BULK of depths reads small — no rank statistic can undo a bias
+    that moves the whole distribution)."""
+    lz = jnp.clip(jnp.log(jnp.clip(z, 1e-9, 1e9)), lo, hi)
+    idx = ((lz - lo) * (bins / (hi - lo))).astype(jnp.int32)
+    idx = jnp.clip(idx, 0, bins - 1)
+    m = mask.astype(jnp.float32)
+    h = jnp.zeros((bins,), jnp.float32).at[idx.reshape(-1)].add(
+        m.reshape(-1))
+    c = jnp.cumsum(h)
+    tot = c[-1]
+    half = 0.5 * tot
+    k = jnp.sum((c < half).astype(jnp.int32))
+    k = jnp.clip(k, 0, bins - 1)
+    prev = jnp.where(k > 0, c[jnp.maximum(k - 1, 0)], 0.0)
+    frac = jnp.clip((half - prev) / jnp.maximum(h[k], 1e-6), 0.0, 1.0)
+    med = lo + (k.astype(jnp.float32) + frac) * ((hi - lo) / bins)
+    return jnp.exp(med), tot
+
+
 def pin_scale(z, mask, scene_depth: float, min_count: int = 20):
     """Absolute scale that pins the masked geometric-mean depth to
     scene_depth -> (scale, ok). The anchor for scale propagation and the
-    fallback when too few shared features survive."""
+    fallback when too few shared features survive.
+
+    Statistic choice (r4 probe, see masked_log_median): at low-res /
+    2%-baseline operating points the pin reads ~1.4-1.8x large because
+    the estimated translation DIRECTION is noise-bound and inflates
+    triangulated parallax — a distribution-wide bias that the median
+    does not reduce (measured slightly worse). The geomean stays; the
+    accelerometer (fusion/vi_init) is the absolute-scale authority."""
     ones = jnp.ones_like(z)
     geo, cnt = geomean_ratio(z, ones, mask)
     ok = cnt >= min_count

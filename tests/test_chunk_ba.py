@@ -93,11 +93,30 @@ def test_refine_pulls_noisy_chain_back():
     fvalid = jnp.ones((f, n), bool)
 
     cfg = ChunkBaConfig()
-    refined, err_b, err_a = jax.jit(
+    refined, err_b, err_a, geo_z, zcnt = jax.jit(
         lambda p: chunk_ba.refine(
             p, jnp.asarray(uv), fvalid, midx, cinl, K, cfg))(
         jnp.asarray(noisy))
     refined = np.asarray(refined)
+
+    # landmark-depth pin statistic: geomean camera-frame depth of the
+    # refined reconstruction must match the true scene's geomean depth
+    # (the whole point of pinning on multi-view instead of two-view
+    # depths — config.ba_scale_pin)
+    z_true = []
+    for i in range(f):
+        Tinv = np.linalg.inv(poses[i])
+        z_true.append((pts @ Tinv[:3, :3].T + Tinv[:3, 3])[:, 2])
+    # per-landmark statistic: mean log depth over each track's frames,
+    # log-MEDIAN over the (well-conditioned) landmarks — matching
+    # chunk_ba.refine's masked_log_median aggregation. Tolerance covers
+    # the refined chain's scale repin (path length of the NOISY chain,
+    # a few % off truth) plus the median histogram quantization.
+    z_lm = np.exp(np.mean(np.log(np.stack(z_true)), axis=0))  # (n,)
+    true_med = float(np.median(z_lm))
+    assert float(zcnt) > 0.9 * n, float(zcnt)
+    assert abs(np.log(float(geo_z) / true_med)) < 0.08, (
+        float(geo_z), true_med)
 
     pos_err_before = np.linalg.norm(noisy[:, :3, 3] - poses[:, :3, 3],
                                     axis=1).mean()
@@ -127,7 +146,7 @@ def test_refine_respects_invalid_and_outliers():
     midx = jnp.tile(jnp.arange(n, dtype=jnp.int32)[None], (f - 1, 1))
     cinl = jnp.ones((f - 1, n), bool)
     fvalid = jnp.ones((f, n), bool)
-    refined, err_b, err_a = chunk_ba.refine(
+    refined, err_b, err_a, _, _ = chunk_ba.refine(
         jnp.asarray(noisy), jnp.asarray(uv_bad), fvalid, midx, cinl, K,
         ChunkBaConfig())
     refined = np.asarray(refined)

@@ -112,3 +112,28 @@ def test_degenerate_input_does_not_crash():
     )
     assert not bool(delta.success)
     assert np.isfinite(np.asarray(delta.R)).all()
+
+
+def test_masked_log_median_robust_to_depth_outliers():
+    """The robust-median utility (used by the ba_scale_pin lever) must
+    shrug off small-depth outliers that drag a geometric mean
+    multiplicatively, and must honor the mask."""
+    rng = np.random.default_rng(7)
+    z = rng.lognormal(np.log(4.0), 0.25, size=512).astype(np.float32)
+    out = rng.random(512) < 0.15
+    z[out] = rng.uniform(0.02, 0.2, size=int(out.sum()))  # tiny depths
+    mask = jnp.ones(512, bool)
+    med, cnt = E.masked_log_median(jnp.asarray(z), mask)
+    # 15% one-sided contamination legitimately shifts the median to the
+    # clean distribution's ~41st percentile (~ -6%); the bound allows
+    # that plus histogram quantization, nothing more
+    assert float(cnt) == 512
+    assert abs(np.log(float(med) / 4.0)) < 0.13, float(med)
+    # geomean on the same data is dragged far below 4 (the failure mode)
+    geo = np.exp(np.mean(np.log(z)))
+    assert geo < 3.2
+
+    # masking works: outliers excluded -> median recenters, count drops
+    med2, cnt2 = E.masked_log_median(jnp.asarray(z), jnp.asarray(~out))
+    assert float(cnt2) == float((~out).sum())
+    assert abs(np.log(float(med2) / 4.0)) < 0.05, float(med2)

@@ -9,10 +9,22 @@ is compute or this floor — this probe measures the floor directly:
      inputs (the relay serves identical (program, args) pairs from a
      cache, so every rep must differ),
   2. the same with a medium program (1k x 1k bf16 matmul),
-  3. K DISTINCT trivial programs dispatched back-to-back vs ONE program
-     computing all K results — the difference is the per-dispatch cost
-     that program fusion (eval/chunked.py state_update / lc_query)
-     eliminates.
+  3. a K-step computation run as K chained dispatches vs ONE fused
+     program, both forced by a SINGLE final fetch — the difference
+     isolates the per-dispatch cost that program fusion
+     (eval/chunked.py state_update / lc_query) eliminates. (The first
+     cut of this probe forced every fused output separately; each
+     force is its own relay roundtrip, so the K fetches drowned the
+     (K-1)-dispatch saving and the probe read ~0.)
+
+Measured verdict (r4, TPU v5e via relay): the floor is PER HOST SYNC,
+not per dispatch — 4 chained dispatches + 1 fetch cost ~25 ms vs ~24 ms
+for 1 fused dispatch + 1 fetch (saving ~0.5 ms/dispatch), while every
+scalar fetch costs ~26-32 ms. Enqueued programs pipeline through the
+relay; intermediate host fetches are what serialize a pipeline. So:
+keep values on device between programs, batch the per-chunk fetches
+(eval/chunked.py does both), and fuse programs only to save the
+dispatch tail, not the floor.
 
 Run: python tests_tpu/dispatch_floor.py   (uses the tunneled TPU).
 Writes DISPATCH_FLOOR_TPU.json in the repo root.
@@ -77,42 +89,40 @@ def main():
     _force(mm_j(*stream[0]))
     mm_ms, mm_all = _median_ms(mm_j, stream[1:])
 
-    # 3. K separate dispatches vs one fused program
+    # 3. K chained dispatches vs one fused program; ONE final fetch on
+    # both sides, matching the pipeline's reality (intermediate program
+    # outputs stay on device and feed the next program — no per-program
+    # fetch). sep - fused = (K-1) x per-dispatch overhead.
     K = 4
 
-    def piece(x, s):
-        return jnp.tanh(x * s) + s
+    def piece(x):
+        return jnp.tanh(x * 1.0003) + 0.01
 
     piece_j = jax.jit(piece)
 
-    def fused(x, ss):
-        return [piece(x, ss[i]) for i in range(K)]
+    def fused(x):
+        for _ in range(K):
+            x = piece(x)
+        return x
 
     fused_j = jax.jit(fused)
 
     xs = [jnp.asarray(rng.normal(size=(256, 256)).astype(np.float32))
           for _ in range(REPS + 1)]
-    ss = [jnp.asarray(rng.normal(size=(K,)).astype(np.float32))
-          for _ in range(REPS + 1)]
-    # per-rep host scalars so the separate-dispatch loop doesn't pay an
-    # extra device-slice program per piece
-    s_host = [[jnp.asarray(float(v), jnp.float32) for v in np.asarray(s)]
-              for s in ss]
     # compile both
-    _force(piece_j(xs[0], s_host[0][0]))
-    for y in fused_j(xs[0], ss[0]):
-        _force(y)
+    _force(piece_j(xs[0]))
+    _force(fused_j(xs[0]))
 
     sep_ts, fus_ts = [], []
-    for x, s, sh in zip(xs[1:], ss[1:], s_host[1:]):
+    for x in xs[1:]:
         t0 = time.perf_counter()
-        for i in range(K):
-            _force(piece_j(x, sh[i]))
+        y = x
+        for _ in range(K):
+            y = piece_j(y)
+        _force(y)
         sep_ts.append((time.perf_counter() - t0) * 1e3)
         t0 = time.perf_counter()
-        ys = fused_j(x, s)
-        for y in ys:
-            _force(y)
+        _force(fused_j(x))
         fus_ts.append((time.perf_counter() - t0) * 1e3)
     sep_ms = float(np.median(sep_ts))
     fus_ms = float(np.median(fus_ts))
