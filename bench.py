@@ -20,7 +20,18 @@ analogue of the reference's two CUDA streams, src/main.cpp:129-140).
 Measurement honesty (VERDICT r3 weak #2): frames cross host->device as
 uint8 INSIDE the timed loop (cast to f32 on device — exact for 0..255),
 so the number includes per-frame upload exactly like the reference's
-80 FPS does (Frame.cpp:19 uploads per frame).
+80 FPS does (Frame.cpp:19 uploads per frame). On THIS rig the upload
+path is an HTTP relay tunnel measured at ~36-44 MB/s (H2D_TPU.json) —
+~300x slower than the PCIe the reference's number rides — so the
+headline is H2D-bound, not compute-bound. The loop therefore pipelines
+like production would: the next chunk's uint8 window is device_put
+(split into concurrent async transfers) while the current chunk's
+program runs, the per-chunk results fold into a device-resident
+(key, acc) carry so NO per-chunk host sync happens, and ONE final
+scalar fetch forces the whole chain (in-order execution on one chip
+means the last result proves all prior work ran). A `detail` field
+reports the compute-only FPS (all windows pre-staged, same carry
+chain) — the framework's number when H2D rides real PCIe.
 
 Resilience (VERDICT r3 missing #1): the round-3 driver bench died with
 'Unable to initialize backend: UNAVAILABLE' at first device touch — a
@@ -54,6 +65,10 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 # scheduler overlaps well; BENCH_CHUNK overrides for studies.
 CHUNK = int(os.environ.get("BENCH_CHUNK", "96"))
 NUM_CHUNKS = 4
+# relay H2D concurrency: 2 in-flight device_puts measured ~1.5x faster
+# than one big put (tests_tpu/h2d_overlap_probe.py); >2 gains nothing
+H2D_SPLIT = int(os.environ.get("BENCH_H2D_SPLIT", "2"))
+REPS = int(os.environ.get("BENCH_REPS", "2"))
 
 # backend-init retry schedule: the relay returns UNAVAILABLE while the
 # tunnel is contended or briefly down; waiting out a stray session is
@@ -157,10 +172,16 @@ def main(detector_on: bool = True):
     ]
 
     @jax.jit
-    def chunk_step(frames_u8, key):
+    def chunk_step(parts, key, acc):
         # batched front-end: extract all frames once, match/RANSAC the
         # CHUNK consecutive pairs together; detector ∥ ORB in-program.
-        # uint8 in, f32 on device (exact for 0..255, 4x fewer H2D bytes)
+        # uint8 in, f32 on device (exact for 0..255, 4x fewer H2D bytes).
+        # `parts` is the H2D_SPLIT-way split of the frame window (the
+        # relay moves concurrent transfers faster than one big one);
+        # (key, acc) is a device-resident carry so chunks chain without
+        # any host sync — one final fetch forces the whole pipeline.
+        frames_u8 = (jnp.concatenate(parts, axis=0) if len(parts) > 1
+                     else parts[0])
         frames = frames_u8.astype(jnp.float32)
         feats = orb.extract_batch(frames, cfg.orb)
         prev = jax.tree_util.tree_map(lambda x: x[:-1], feats)
@@ -183,36 +204,84 @@ def main(detector_on: bool = True):
             )
 
         delta = jax.vmap(pose_one)(prev, cur, m, dyn, keys)
-        return delta.R, delta.t, jnp.sum(delta.num_inliers)
+        key_next = jax.random.split(key, 1)[0]
+        return key_next, acc + jnp.sum(delta.num_inliers)
+
+    def put_parts(ch):
+        # split the window row-wise into H2D_SPLIT concurrent async
+        # transfers (shapes are static: same split every call)
+        return tuple(jax.device_put(s)
+                     for s in np.array_split(ch, H2D_SPLIT))
 
     key = jax.random.key(0)
+    acc0 = jnp.zeros((), jnp.float32)
     # warm-up: compile + one real execution (block_until_ready is lazy
     # on this backend; fetching a scalar forces completion)
-    out = chunk_step(jnp.asarray(host_chunks[0]), key)
-    float(out[2])
-    _log(f"compiled; timing {2 * NUM_CHUNKS} chunks of {CHUNK} frames")
+    key, acc = chunk_step(put_parts(host_chunks[0]), key, acc0)
+    float(acc)
+    _log(f"compiled; timing {REPS * NUM_CHUNKS} chunks of {CHUNK} frames "
+         f"(H2D in-loop, split {H2D_SPLIT}, single final sync)")
 
+    # ---- headline: H2D inside the timed region, pipelined. Enqueue
+    # the current chunk's program, then ship the next window while it
+    # runs; the (key, acc) carry chains executions in-order so the one
+    # scalar fetch at the end forces every transfer + program.
+    total_frames = REPS * NUM_CHUNKS * CHUNK
+    acc = acc0
     t0 = time.perf_counter()
-    total_frames = 0
-    for rep in range(2):
-        for i, ch in enumerate(host_chunks):
-            dev = jnp.asarray(ch)  # H2D: uint8, inside the timed region
-            R, t, ni = chunk_step(dev, jax.random.key(rep * 31 + i + 1))
-            float(ni)  # sync: force the execution to complete
-            total_frames += CHUNK
+    parts = put_parts(host_chunks[0])
+    for step in range(REPS * NUM_CHUNKS):
+        key, acc = chunk_step(parts, key, acc)  # async dispatch
+        if step + 1 < REPS * NUM_CHUNKS:
+            parts = put_parts(host_chunks[(step + 1) % NUM_CHUNKS])
+    n_inl = float(acc)  # single sync for the whole run
     dt = time.perf_counter() - t0
     fps = total_frames / dt
+    _log(f"pipelined {fps:.1f} FPS ({dt * 1000 / (REPS * NUM_CHUNKS):.0f} "
+         f"ms/chunk incl. relay H2D; inliers {n_inl:.0f})")
+
+    # ---- detail: compute-only FPS (windows pre-staged on device, same
+    # carry chain) — what the framework does when H2D is PCIe, not a
+    # ~40 MB/s tunnel. Distinct carry values keep the relay's identical-
+    # (program, args) execution cache out of the measurement.
+    staged = [put_parts(ch) for ch in host_chunks]
+    key, acc = chunk_step(staged[0], key, acc)
+    float(acc)
+    t1 = time.perf_counter()
+    for step in range(REPS * NUM_CHUNKS):
+        key, acc = chunk_step(staged[step % NUM_CHUNKS], key, acc)
+    float(acc)
+    dt_c = time.perf_counter() - t1
+    fps_compute = total_frames / dt_c
+    h2d_ms = max(dt - dt_c, 0.0) * 1000 / (REPS * NUM_CHUNKS)
+    _log(f"compute-only {fps_compute:.1f} FPS; implied relay H2D "
+         f"{h2d_ms:.0f} ms/chunk")
 
     # like-for-like baselines: 80 FPS = reference ORB+YOLO parallel
     # streams (README.md:1115); 150 FPS = reference ORB-only (README.md:1113)
     baseline = 80.0 if detector_on else 150.0
     metric = ("euroc_frontend_yolo_fps_per_chip" if detector_on
               else "euroc_frontend_fps_per_chip")
+    bytes_per_chunk = host_chunks[0].nbytes
     print(json.dumps({
         "metric": metric,
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline, 3),
+        "detail": {
+            "compute_only_fps": round(fps_compute, 2),
+            "compute_only_vs_baseline": round(fps_compute / baseline, 3),
+            "relay_h2d_mbps": (
+                round(bytes_per_chunk / 1e6 / (h2d_ms / 1e3), 1)
+                if h2d_ms > 1.0 else None),
+            "note": ("headline includes uint8 frame upload through this "
+                     "rig's relay tunnel (~40 MB/s, H2D_TPU.json) inside "
+                     "the timed loop, pipelined under compute; "
+                     "compute_only_fps is the same chained run with "
+                     "windows pre-staged — the framework's figure when "
+                     "frames arrive over real PCIe like the reference's "
+                     "80 FPS baseline assumes"),
+        },
     }))
 
 
