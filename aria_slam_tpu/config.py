@@ -261,6 +261,26 @@ class PipelineConfig:
     # ONE global scale instead of one per frame (better ATE/RPE/maps)
     vo_scale_mode: str = "median_depth"
     vo_scene_depth: float = 4.0
+    # depth statistic feeding the scene-depth pin (ops/epipolar.py):
+    # "triangulated" = unit-|t| two-view triangulation under the
+    # estimated pose (pair_depths); "tfree_parallax" = t-direction-free
+    # ranges sin(alpha)/beta with the rotation-compensated angular
+    # displacement beta DEBIASED by the keypoint noise
+    # (tfree_parallax_depths). The r4 probe on the 240-frame low-res
+    # rotloop measured the triangulated pin's |t| geomean ratio 2.24
+    # (direction noise inflates apparent parallax, CLAUDE.md known
+    # gaps) vs 1.24 for tfree at the same log-std — but tfree's win
+    # rides partial cancellation (estimated-direction sin(alpha) reads
+    # ~0.46x low while the debiased beta reads ~2x high), so it stays
+    # an opt-in lever until it wins end-to-end at full res too. Chain
+    # RATIOS (shared-frame depth ratios) always use triangulated
+    # depths — they are scale-free and unaffected by the pin bias.
+    vo_pin_estimator: str = "triangulated"
+    # keypoint angular noise for the tfree debias, in pixels (1-dof
+    # tangent component). 0.55 px = the oracle-calibrated value from
+    # the r4 probe (GT-epipolar-perpendicular displacement component,
+    # median over 239 pairs).
+    vo_pin_sigma_px: float = 0.55
     # EMA the chain's metric toward the lag-pair (backbone) pin metric.
     # OFF by default: the r4 edge audits measured the backbone pin
     # biased ~29% SMALL at BOTH resolutions (lag-pair depth pins carry

@@ -161,7 +161,14 @@ class ChunkedSlam:
                 # z2 at the cur frame (carried to the NEXT pair)
                 z1, z2, zgood = epipolar.pair_depths(
                     delta, xy_prev, cf.xy, valid, K)
-                pin, pin_ok = epipolar.pin_scale(z1, zgood, cfg.vo_scene_depth)
+                # pin statistic may use the t-free estimator
+                # (vo_pin_estimator); chain ratios below stay on the
+                # triangulated z1/z2 — scale-free, bias cancels
+                pz, pgood = epipolar.pin_depths(
+                    delta, xy_prev, cf.xy, valid, K,
+                    cfg.vo_pin_estimator, cfg.vo_pin_sigma_px)
+                pin, pin_ok = epipolar.pin_scale(pz, pgood,
+                                                 cfg.vo_scene_depth)
                 nf = cf.valid.shape[0]
                 zp = jnp.zeros((nf,), jnp.float32).at[mm.train_idx].set(
                     jnp.where(zgood, z1, 0.0), mode="drop")

@@ -82,9 +82,10 @@ def make_multi_chunk_frontend(cfg: PipelineConfig, mesh: Mesh | None):
             delta = epipolar.estimate_pose_gyro_fused(
                 xy_prev, cf.xy, valid, K, cfg.ransac, k, Rg, has_g,
                 in_thresh_sq)
-            z1, _, zgood = epipolar.pair_depths(
-                delta, xy_prev, cf.xy, valid, K)
-            pin, pin_ok = epipolar.pin_scale(z1, zgood, cfg.vo_scene_depth)
+            pz, pgood = epipolar.pin_depths(
+                delta, xy_prev, cf.xy, valid, K,
+                cfg.vo_pin_estimator, cfg.vo_pin_sigma_px)
+            pin, pin_ok = epipolar.pin_scale(pz, pgood, cfg.vo_scene_depth)
             return delta.R, delta.t, delta.success, pin, pin_ok
 
         R, t, ok, pins, pin_oks = jax.vmap(pose_one)(

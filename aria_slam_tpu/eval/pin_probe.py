@@ -1,0 +1,189 @@
+"""Oracle probe: scene-depth pin estimators vs ground-truth |t|.
+
+Measures, per consecutive pair of a synthetic rotloop scene, the ratio
+pin / |t_gt| for the pin estimators (1.0 = the pin recovers the true
+translation magnitude given a correct scene-depth prior):
+
+  pin_base   : production pin — triangulate under the estimated pose
+               (ops/epipolar.pair_depths + pin_scale)
+  pin_gt     : triangulate under the GT pose (oracle upper bound)
+  pin_tfree  : t-direction-free debiased parallax ranges
+               (ops/epipolar.tfree_parallax_depths) with the estimated
+               direction; *_gtdir uses the GT direction (oracle,
+               isolates the sin(alpha) error source)
+
+This is the measurement behind PipelineConfig.vo_pin_estimator's
+documentation: at the low-res / 2%-baseline operating point the
+production pin reads ~2.2x large (direction noise inflates apparent
+parallax — CLAUDE.md known gaps) while tfree reads ~1.24x; at full res
+the production pin is already within ~8% and tfree is slightly worse
+(~-19%), so the default stays "triangulated". Committed results:
+PIN_PROBE_r04.json.
+
+Run (CPU is fine — estimators are backend-agnostic, Pallas/XLA parity
+is bit-exact on chip):
+  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+      python -m aria_slam_tpu.eval.pin_probe [--full-res] [--out F]
+
+Reference comparison: the reference never pins scale (unit-|t|
+recoverPose accumulation, src/main.cpp:187-201) — this probe audits a
+capability it does not have.
+"""
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+
+def run(full_res: bool, frames: int = 240, scene_dir: str | None = None,
+        verbose: bool = True) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    import aria_slam_tpu  # noqa: F401  (matmul precision pin)
+    from aria_slam_tpu.eval.accuracy_benchmark import benchmark_config
+    from aria_slam_tpu.io import euroc, synthetic_scene
+    from aria_slam_tpu.ops import epipolar as E
+    from aria_slam_tpu.ops import match as match_ops, orb
+
+    cfg = benchmark_config(full_res=full_res, frames=frames)
+    scene_depth = 4.0
+    if scene_dir is None:
+        scene_dir = f"/tmp/pin_probe_scene_{frames}_" + (
+            "full" if full_res else "low")
+    if not os.path.exists(os.path.join(scene_dir, "mav0")):
+        synthetic_scene.generate(scene_dir, num_frames=frames, fps=10.0,
+                                 cam=cfg.camera, depth=scene_depth,
+                                 traj="rotloop", period=20.0)
+    data = euroc.load(scene_dir)
+    cam = cfg.camera
+    K = jnp.asarray([[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]],
+                    jnp.float32)
+    focal = 0.5 * (cam.fx + cam.fy)
+    in_thresh_sq = (cfg.ransac.inlier_threshold_px / focal) ** 2
+
+    # GT relative poses, x_cur = R x_prev + t (synthetic body == camera)
+    def gt_T(i):
+        t = float(np.clip(data.image_ts[i], data.gt_ts[0], data.gt_ts[-1]))
+        pos, q = euroc.interpolate_gt(data, t)
+        w, x, y, z = q
+        R = np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - z * w),
+             2 * (x * z + y * w)],
+            [2 * (x * y + z * w), 1 - 2 * (x * x + z * z),
+             2 * (y * z - x * w)],
+            [2 * (x * z - y * w), 2 * (y * z + x * w),
+             1 - 2 * (x * x + y * y)],
+        ])
+        T = np.eye(4)
+        T[:3, :3] = R
+        T[:3, 3] = pos
+        return T
+
+    Ts = [gt_T(i) for i in range(frames)]
+    R_gt, t_gt = [], []
+    for i in range(frames - 1):
+        D = np.linalg.inv(Ts[i + 1]) @ Ts[i]
+        R_gt.append(D[:3, :3])
+        t_gt.append(D[:3, 3])
+    R_gt = np.stack(R_gt).astype(np.float32)
+    t_gt = np.stack(t_gt).astype(np.float32)
+    t_gt_norm = np.linalg.norm(t_gt, axis=1)
+    t_gt_unit = t_gt / np.maximum(t_gt_norm[:, None], 1e-12)
+
+    # batched feature extraction for all frames
+    B = 16
+    feats = []
+    ex = jax.jit(lambda im: orb.extract_batch(im, cfg.orb))
+    for s in range(0, frames, B):
+        imgs = np.stack([euroc.load_image(p).astype(np.float32)
+                         for p in data.image_paths[s:s + B]])
+        if imgs.shape[0] < B:
+            pad = np.zeros((B - imgs.shape[0],) + imgs.shape[1:],
+                           np.float32)
+            imgs = np.concatenate([imgs, pad])
+        feats.append(ex(jnp.asarray(imgs)))
+        if verbose:
+            print(f"extracted {min(s + B, frames)}/{frames}", flush=True)
+    feats = jax.tree.map(lambda *xs: jnp.concatenate(xs)[:frames], *feats)
+
+    def pair_stats(pf, cf, key, Rg, tg_unit):
+        mm = match_ops.match(cf, pf, cfg.matcher.ratio)
+        xy_prev = jnp.take_along_axis(pf.xy, mm.train_idx[:, None], 0)
+        valid = mm.valid & pf.valid[mm.train_idx] & cf.valid
+        delta = E.estimate_pose_gyro_fused(
+            xy_prev, cf.xy, valid, K, cfg.ransac, key, Rg,
+            jnp.asarray(True), in_thresh_sq)
+
+        z1, _, zgood = E.pair_depths(delta, xy_prev, cf.xy, valid, K)
+        pin_base, _ = E.pin_scale(z1, zgood, scene_depth)
+
+        p1 = E.normalize_points(xy_prev, K)
+        p2 = E.normalize_points(cf.xy, K)
+        z1g, _ = E.triangulate_depths(Rg, tg_unit, p1, p2)
+        ggood = valid & delta.inlier_mask & (z1g > 1e-3) & (z1g < 1e4)
+        pin_gt, _ = E.pin_scale(z1g, ggood, scene_depth)
+
+        sig = cfg.vo_pin_sigma_px
+        zt, tgood = E.tfree_parallax_depths(delta, xy_prev, cf.xy, valid,
+                                            K, sig)
+        pin_tfree, _ = E.pin_scale(zt, tgood, scene_depth)
+        # oracle direction variant: same debiased beta, GT sin(alpha)
+        d_gt = delta.replace(t=tg_unit)  # flax.struct dataclass
+        ztg, tggood = E.tfree_parallax_depths(d_gt, xy_prev, cf.xy, valid,
+                                              K, sig)
+        pin_tfree_gtdir, _ = E.pin_scale(ztg, tggood, scene_depth)
+
+        return dict(pin_base=pin_base, pin_gt=pin_gt, pin_tfree=pin_tfree,
+                    pin_tfree_gtdir=pin_tfree_gtdir,
+                    ok=delta.success)
+
+    pj = jax.jit(pair_stats)
+    keys = jax.random.split(jax.random.PRNGKey(0), frames - 1)
+    rows = []
+    for i in range(frames - 1):
+        pf = jax.tree.map(lambda x: x[i], feats)
+        cf = jax.tree.map(lambda x: x[i + 1], feats)
+        r = pj(pf, cf, keys[i], jnp.asarray(R_gt[i]),
+               jnp.asarray(t_gt_unit[i]))
+        rows.append({k: float(v) for k, v in r.items()})
+        if verbose and i % 40 == 0:
+            print(f"pair {i}/{frames - 1}", flush=True)
+
+    ok = np.array([r["ok"] > 0 for r in rows]) & (t_gt_norm > 1e-4)
+    out = {"full_res": full_res, "frames": frames,
+           "pairs_ok": int(ok.sum()), "pairs": len(rows),
+           "sigma_px": cfg.vo_pin_sigma_px, "estimators": {}}
+    for name in ("pin_base", "pin_gt", "pin_tfree", "pin_tfree_gtdir"):
+        ratio = np.array([r[name] for r in rows])[ok] / t_gt_norm[ok]
+        lr = np.log(np.clip(ratio, 1e-6, 1e6))
+        out["estimators"][name] = {
+            "geomean_ratio": round(float(np.exp(lr.mean())), 3),
+            "log_std": round(float(lr.std()), 3),
+            "median_ratio": round(float(np.exp(np.median(lr))), 3),
+        }
+        if verbose:
+            print(f"{name:16s} {out['estimators'][name]}", flush=True)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--full-res", action="store_true")
+    ap.add_argument("--frames", type=int, default=240)
+    ap.add_argument("--scene", default=None)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    rep = run(args.full_res, args.frames, args.scene)
+    print(json.dumps(rep, indent=1))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(rep, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -425,6 +425,69 @@ def pair_depths(delta: PoseDelta, xy1, xy2, valid, K):
     return z1, z2, good
 
 
+def tfree_parallax_depths(delta: PoseDelta, xy1, xy2, valid, K,
+                          sigma_px: float):
+    """Translation-direction-robust per-correspondence ranges under the
+    pair's unit-|t| scale -> (z, good).
+
+    The triangulated pin (pair_depths + pin_scale) is biased at tiny
+    baselines because the estimated t DIRECTION is noise-bound (~60-70
+    deg at 2% b/z) and projecting the displacement onto a wrong
+    epipolar direction inflates apparent parallax (CLAUDE.md known
+    gaps). This estimator never projects: the parallax magnitude is
+    the full rotation-compensated angular displacement |u| between the
+    unit rays d1 = f1-hat and d2' = (R^T f2)-hat, DEBIASED by the
+    keypoint noise via E|u|^2 = beta^2 + 2 sigma^2 (two tangent-plane
+    noise dofs), and the range follows from the sine rule with |t|=1:
+
+        z_i = sin(alpha_i) / beta_i,  alpha_i = angle(baseline, d1)
+
+    sin(alpha) still uses the estimated direction, but enters as a
+    bounded multiplicative factor rather than a projection that can
+    collapse toward 0. r4 probe (240-pair low-res rotloop, oracle
+    |t_gt| ratios): triangulated geomean 2.24 / log-std 0.55, tfree
+    1.24 / 0.45. sigma_px: see PipelineConfig.vo_pin_sigma_px.
+    """
+    p1 = normalize_points(xy1, K)
+    p2 = normalize_points(xy2, K)
+    f1 = _homog(p1)
+    f2 = _homog(p2)
+    d1 = f1 / jnp.maximum(jnp.linalg.norm(f1, axis=-1, keepdims=True), 1e-9)
+    d2p = f2 @ delta.R  # rows: R^T f2 — cur-frame rays in the prev frame
+    d2p = d2p / jnp.maximum(
+        jnp.linalg.norm(d2p, axis=-1, keepdims=True), 1e-9)
+    u = d2p - jnp.sum(d2p * d1, -1, keepdims=True) * d1
+    usq = jnp.sum(u * u, -1)
+
+    focal = 0.5 * (K[0, 0] + K[1, 1])
+    sig2 = (sigma_px / focal) ** 2
+    # soft floor: a feature whose displacement is all noise would get
+    # beta ~ 0 (infinite depth); keep 5% of the raw magnitude instead
+    beta = jnp.sqrt(jnp.maximum(usq - 2.0 * sig2, 0.05 * usq))
+
+    # baseline direction in the prev frame: cam-2 center = -R^T t
+    b = -(delta.t @ delta.R)
+    b = b / jnp.maximum(jnp.linalg.norm(b), 1e-12)
+    bp = b[None, :] - jnp.sum(b[None, :] * d1, -1, keepdims=True) * d1
+    sin_alpha = jnp.linalg.norm(bp, axis=-1)
+
+    z = sin_alpha / jnp.maximum(beta, 1e-9)
+    good = (delta.inlier_mask & valid & (z > 1e-3) & (z < 1e4))
+    return z, good
+
+
+def pin_depths(delta: PoseDelta, xy1, xy2, valid, K,
+               estimator: str = "triangulated", sigma_px: float = 0.55):
+    """Depth statistic feeding the scene-depth pin — dispatches on
+    PipelineConfig.vo_pin_estimator (trace-time: configs are frozen).
+    Chain ratios keep using pair_depths regardless: shared-frame depth
+    RATIOS are scale-free, so the pin bias cancels there."""
+    if estimator == "tfree_parallax":
+        return tfree_parallax_depths(delta, xy1, xy2, valid, K, sigma_px)
+    z1, _, good = pair_depths(delta, xy1, xy2, valid, K)
+    return z1, good
+
+
 def geomean_ratio(num, den, mask):
     """Masked geometric mean of num/den -> (ratio, count). Robust to
     multiplicative outliers like a median, but a pure reduction (sorts

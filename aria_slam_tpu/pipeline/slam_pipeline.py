@@ -203,7 +203,12 @@ def make_frame_step(
         if cfg.vo_scale_mode in ("median_depth", "propagate"):
             z1, z2, zgood = epipolar.pair_depths(delta, xy_prev, xy_cur,
                                                  m_valid, K)
-            pin, _ = epipolar.pin_scale(z1, zgood, cfg.vo_scene_depth)
+            # pin statistic honors vo_pin_estimator; the propagate
+            # ratio keeps the triangulated z1 (scale-free, bias cancels)
+            pz, pgood = epipolar.pin_depths(
+                delta, xy_prev, xy_cur, m_valid, K,
+                cfg.vo_pin_estimator, cfg.vo_pin_sigma_px)
+            pin, _ = epipolar.pin_scale(pz, pgood, cfg.vo_scene_depth)
             if cfg.vo_scale_mode == "propagate":
                 shared = zgood & state.prev_depth_mask[m.train_idx]
                 ratio, cnt = epipolar.geomean_ratio(

@@ -137,3 +137,112 @@ def test_masked_log_median_robust_to_depth_outliers():
     med2, cnt2 = E.masked_log_median(jnp.asarray(z), jnp.asarray(~out))
     assert float(cnt2) == float((~out).sum())
     assert abs(np.log(float(med2) / 4.0)) < 0.05, float(med2)
+
+
+def _tiny_baseline_two_view(seed=3, n=300, noise_px=0.5, depth=4.0,
+                            baseline=0.08):
+    """Consecutive-frame operating point: ~2% baseline/depth, where the
+    estimated t direction is noise-bound (CLAUDE.md known gaps)."""
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform([-2.5, -1.8, depth * 0.7], [2.5, 1.8, depth * 1.5],
+                      size=(n, 3))
+    R = np.asarray(lie.so3_exp(jnp.asarray([0.01, -0.02, 0.005],
+                                           jnp.float32)))
+    t = np.array([0.7, -0.2, 0.4])
+    t = t / np.linalg.norm(t) * baseline
+
+    def project(X, Rw, tw):
+        Xc = X @ Rw.T + tw
+        uv = Xc[:, :2] / Xc[:, 2:3]
+        return uv * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
+
+    uv1 = project(pts, np.eye(3), np.zeros(3))
+    uv2 = project(pts, R, t)
+    uv1 += rng.normal(0, noise_px, uv1.shape)
+    uv2 += rng.normal(0, noise_px, uv2.shape)
+    return (uv1.astype(np.float32), uv2.astype(np.float32), R,
+            t.astype(np.float32), pts)
+
+
+def _delta(R, t_unit, n):
+    from aria_slam_tpu.core.types import PoseDelta
+
+    return PoseDelta(R=jnp.asarray(R, jnp.float32),
+                     t=jnp.asarray(t_unit, jnp.float32),
+                     num_inliers=jnp.asarray(n, jnp.int32),
+                     inlier_mask=jnp.ones(n, bool),
+                     success=jnp.asarray(True))
+
+
+def test_tfree_parallax_depths_correct_direction():
+    """With the TRUE direction, the debiased t-free ranges match the
+    true point ranges (not just up to a bias) at a 2% baseline."""
+    uv1, uv2, R, t, pts = _tiny_baseline_two_view()
+    n = len(uv1)
+    d = _delta(R, t / np.linalg.norm(t), n)
+    z, good = E.tfree_parallax_depths(
+        d, jnp.asarray(uv1), jnp.asarray(uv2), jnp.ones(n, bool),
+        jnp.asarray(K), sigma_px=0.5)
+    # true range of each point from camera 1, in units of |t|
+    r_true = np.linalg.norm(pts, axis=1) / np.linalg.norm(t)
+    lr = np.log(np.asarray(z)[np.asarray(good)]
+                / r_true[np.asarray(good)])
+    # geomean within 15%: the debias removes the noise inflation that
+    # would otherwise read ~sqrt(1 + 2 sigma^2/beta^2) ~ 1.3-2x here
+    assert abs(lr.mean()) < 0.15, np.exp(lr.mean())
+
+
+def test_tfree_pin_beats_triangulated_under_direction_noise():
+    """The r4 probe in miniature: corrupt the translation DIRECTION by
+    ~60 deg (the measured two-view noise at 2% baselines) and compare
+    scene-depth pins. The triangulated pin inflates multiplicatively;
+    the t-free pin must land materially closer to the truth."""
+    uv1, uv2, R, t, pts = _tiny_baseline_two_view(seed=11)
+    n = len(uv1)
+    t_unit = t / np.linalg.norm(t)
+    # rotate the direction ~60 deg inside the plane it spans with z
+    axis = np.cross(t_unit, [0.0, 0.0, 1.0])
+    axis /= np.linalg.norm(axis)
+    Rn = np.asarray(lie.so3_exp(jnp.asarray(axis * np.radians(60),
+                                            jnp.float32)))
+    d_bad = _delta(R, Rn @ t_unit, n)
+    ones = jnp.ones(n, bool)
+    Kj = jnp.asarray(K)
+
+    z_tri, _, g_tri = E.pair_depths(d_bad, jnp.asarray(uv1),
+                                    jnp.asarray(uv2), ones, Kj)
+    z_tf, g_tf = E.tfree_parallax_depths(
+        d_bad, jnp.asarray(uv1), jnp.asarray(uv2), ones, Kj, sigma_px=0.5)
+
+    depth_true = float(np.exp(np.mean(np.log(pts[:, 2]))))
+    scene = depth_true  # pin with the correct prior: ratio -> |t| error
+    pin_tri, ok1 = E.pin_scale(z_tri, g_tri, scene)
+    pin_tf, ok2 = E.pin_scale(z_tf, g_tf, scene)
+    assert bool(ok1) and bool(ok2)
+    err_tri = abs(np.log(float(pin_tri) / np.linalg.norm(t)))
+    err_tf = abs(np.log(float(pin_tf) / np.linalg.norm(t)))
+    # probe numbers: 2.24x vs 1.24x geomean ratio; require a clear win
+    assert err_tf < err_tri - 0.2, (err_tri, err_tf)
+
+
+def test_pin_depths_dispatch_matches_components():
+    """pin_depths('triangulated') == pair_depths' z1; the tfree branch
+    routes through tfree_parallax_depths with the configured sigma."""
+    uv1, uv2, R, t, _ = _tiny_baseline_two_view(seed=5)
+    n = len(uv1)
+    d = _delta(R, t / np.linalg.norm(t), n)
+    ones = jnp.ones(n, bool)
+    Kj = jnp.asarray(K)
+    z_a, g_a = E.pin_depths(d, jnp.asarray(uv1), jnp.asarray(uv2), ones,
+                            Kj, "triangulated")
+    z_ref, _, g_ref = E.pair_depths(d, jnp.asarray(uv1), jnp.asarray(uv2),
+                                    ones, Kj)
+    np.testing.assert_allclose(np.asarray(z_a), np.asarray(z_ref))
+    assert (np.asarray(g_a) == np.asarray(g_ref)).all()
+
+    z_b, g_b = E.pin_depths(d, jnp.asarray(uv1), jnp.asarray(uv2), ones,
+                            Kj, "tfree_parallax", sigma_px=0.7)
+    z_tf, g_tf = E.tfree_parallax_depths(
+        d, jnp.asarray(uv1), jnp.asarray(uv2), ones, Kj, sigma_px=0.7)
+    np.testing.assert_allclose(np.asarray(z_b), np.asarray(z_tf))
+    assert (np.asarray(g_b) == np.asarray(g_tf)).all()
