@@ -270,8 +270,16 @@ class ChunkedSlam:
                 def pose_lag(uv1, uv2, vv, k):
                     delta = epipolar.estimate_relative_pose(
                         uv1, uv2, vv, K, cfg.ransac, k)
-                    z1, _, zg = epipolar.pair_depths(delta, uv1, uv2, vv, K)
-                    pin, pok = epipolar.pin_scale(z1, zg, cfg.vo_scene_depth)
+                    # same pin estimator as the consecutive-pair pin
+                    # (vo_pin_estimator): mixing estimators with
+                    # different multiplicative biases would make the
+                    # backbone/chain pin ratio (_vis_corr) a ratio of
+                    # two different quantities (ADVICE r4)
+                    pz, zg = epipolar.pin_depths(
+                        delta, uv1, uv2, vv, K,
+                        cfg.vo_pin_estimator, cfg.vo_pin_sigma_px)
+                    pin, pok = epipolar.pin_scale(pz, zg,
+                                                  cfg.vo_scene_depth)
                     return delta.R, delta.t, delta.success, pin, pok
 
                 (out["Rl"], out["tl"], out["okl"], out["pinl"],
@@ -286,10 +294,17 @@ class ChunkedSlam:
             # rot_scale is a traced scalar: 1.0 normally, 0.0 when the
             # whole chunk carries gyro rotation priors (orientation is
             # then ~30x better than vision — BA solves translations and
-            # landmarks only). One compiled program serves both.
-            self._ba = jax.jit(
-                lambda p, fxy, fv, mi, ci, rs: chunk_ba.refine(
-                    p, fxy, fv, mi, ci, K, cfg.chunk_ba, rs))
+            # landmarks only). One compiled program serves both. The
+            # two pin-statistic scalars come back STACKED so the
+            # ba_scale_pin lever costs one host fetch per window, not
+            # two (every fetch is a ~26-32 ms relay roundtrip on this
+            # rig — ADVICE r4).
+            def ba_fn(p, fxy, fv, mi, ci, rs):
+                poses, err_b, err_a, geo_z, zcnt = chunk_ba.refine(
+                    p, fxy, fv, mi, ci, K, cfg.chunk_ba, rs)
+                return poses, err_b, err_a, jnp.stack([geo_z, zcnt])
+
+            self._ba = jax.jit(ba_fn)
         # chain-edge translation weight: down-weighted only when the
         # backbone carries the better-conditioned translations
         backbone_on = (cfg.pose_graph.backbone_weight > 0
@@ -629,7 +644,7 @@ class ChunkedSlam:
                     mi_in = out["midx"][jnp.asarray(pidx)]
                     ci_in = out["cinl"][jnp.asarray(pidx)] & pad_p[:, None]
                 end_before = refined[e].copy()
-                r_win, err_b, err_a, geo_z, zcnt = self._ba(
+                r_win, err_b, err_a, pin_stat = self._ba(
                     poses_in, fxy_in, fv_in, mi_in, ci_in, rs)
                 r_win = np.asarray(r_win)[:rl + 1]
                 if not np.all(np.isfinite(r_win)):
@@ -638,9 +653,10 @@ class ChunkedSlam:
                 # fetch the pin statistic ONLY when the lever is on:
                 # each host fetch is a full relay roundtrip (~26 ms on
                 # chip, DISPATCH_FLOOR_TPU.json) and would tax every BA
-                # window of every run otherwise
+                # window of every run otherwise. One fetch: the two
+                # scalars arrive stacked (see ba_fn above).
                 if cfg.ba_scale_pin and cfg.vo_scale_mode != "unit":
-                    gz, zc = float(geo_z), float(zcnt)
+                    gz, zc = (float(x) for x in np.asarray(pin_stat))
                     if np.isfinite(gz) and gz > 0 and zc > 0:
                         zlog_sum += np.log(gz) * zc
                         zcnt_sum += zc

@@ -13,12 +13,14 @@ translation magnitude given a correct scene-depth prior):
                isolates the sin(alpha) error source)
 
 This is the measurement behind PipelineConfig.vo_pin_estimator's
-documentation: at the low-res / 2%-baseline operating point the
-production pin reads ~2.2x large (direction noise inflates apparent
-parallax — CLAUDE.md known gaps) while tfree reads ~1.24x; at full res
-the production pin is already within ~8% and tfree is slightly worse
-(~-19%), so the default stays "triangulated". Committed results:
-PIN_PROBE_r04.json.
+documentation (PIN_PROBE_r05.json, z-depth semantics): at the low-res /
+2%-baseline operating point the production pin reads ~2.24x large
+(direction noise inflates apparent parallax — CLAUDE.md known gaps)
+while tfree reads ~1.45x with lower scatter (log-std 0.43 vs 0.55) —
+half the log-bias; at full res production is within ~8% (0.92) and
+tfree ~13% low (0.87), so the default stays "triangulated". Even the
+GT-pose oracle reads 0.85/0.82 (match-noise floor), so ratios should
+be judged against it, not 1.0.
 
 Run (CPU is fine — estimators are backend-agnostic, Pallas/XLA parity
 is bit-exact on chip):

@@ -427,8 +427,8 @@ def pair_depths(delta: PoseDelta, xy1, xy2, valid, K):
 
 def tfree_parallax_depths(delta: PoseDelta, xy1, xy2, valid, K,
                           sigma_px: float):
-    """Translation-direction-robust per-correspondence ranges under the
-    pair's unit-|t| scale -> (z, good).
+    """Translation-direction-robust per-correspondence camera-1 z-DEPTHS
+    under the pair's unit-|t| scale -> (z, good).
 
     The triangulated pin (pair_depths + pin_scale) is biased at tiny
     baselines because the estimated t DIRECTION is noise-bound (~60-70
@@ -440,13 +440,22 @@ def tfree_parallax_depths(delta: PoseDelta, xy1, xy2, valid, K,
     keypoint noise via E|u|^2 = beta^2 + 2 sigma^2 (two tangent-plane
     noise dofs), and the range follows from the sine rule with |t|=1:
 
-        z_i = sin(alpha_i) / beta_i,  alpha_i = angle(baseline, d1)
+        range_i = sin(alpha_i) / beta_i,  alpha_i = angle(baseline, d1)
+
+    and the RANGE converts to camera-frame z-depth by the ray's z
+    component (z = range * d1_z) so the pin target (vo_scene_depth)
+    means the same quantity under both vo_pin_estimator settings —
+    pair_depths returns z-depths, and without this factor switching
+    estimators would shift the pinned metric by a systematic
+    1/cos(ray angle) (few % to ~10% off-axis at this FoV; ADVICE r4).
 
     sin(alpha) still uses the estimated direction, but enters as a
     bounded multiplicative factor rather than a projection that can
-    collapse toward 0. r4 probe (240-pair low-res rotloop, oracle
-    |t_gt| ratios): triangulated geomean 2.24 / log-std 0.55, tfree
-    1.24 / 0.45. sigma_px: see PipelineConfig.vo_pin_sigma_px.
+    collapse toward 0. r5 probe (240-pair low-res rotloop, oracle
+    |t_gt| ratios, PIN_PROBE_r05.json): triangulated geomean 2.24 /
+    log-std 0.55, tfree 1.45 / 0.43 — half the log-bias; full-res
+    0.92 vs 0.87 (triangulated stays the default there).
+    sigma_px: see PipelineConfig.vo_pin_sigma_px.
     """
     p1 = normalize_points(xy1, K)
     p2 = normalize_points(xy2, K)
@@ -471,7 +480,8 @@ def tfree_parallax_depths(delta: PoseDelta, xy1, xy2, valid, K,
     bp = b[None, :] - jnp.sum(b[None, :] * d1, -1, keepdims=True) * d1
     sin_alpha = jnp.linalg.norm(bp, axis=-1)
 
-    z = sin_alpha / jnp.maximum(beta, 1e-9)
+    # range -> z-depth: d1 is unit, so its z component is 1/|f1|
+    z = sin_alpha / jnp.maximum(beta, 1e-9) * d1[:, 2]
     good = (delta.inlier_mask & valid & (z > 1e-3) & (z < 1e4))
     return z, good
 

@@ -29,9 +29,12 @@ like production would: the next chunk's uint8 window is device_put
 program runs, the per-chunk results fold into a device-resident
 (key, acc) carry so NO per-chunk host sync happens, and ONE final
 scalar fetch forces the whole chain (in-order execution on one chip
-means the last result proves all prior work ran). A `detail` field
-reports the compute-only FPS (all windows pre-staged, same carry
-chain) — the framework's number when H2D rides real PCIe.
+means the last result proves all prior work ran). Every timed upload
+ships content-DISTINCT bytes (per-rep np.roll, prepared before the
+timed region) so a content-caching transfer path in the relay cannot
+understate H2D (ADVICE r4). A `detail` field reports the compute-only
+FPS (all windows pre-staged, same carry chain) — the framework's
+number when H2D rides real PCIe.
 
 Resilience (VERDICT r3 missing #1): the round-3 driver bench died with
 'Unable to initialize backend: UNAVAILABLE' at first device touch — a
@@ -170,6 +173,18 @@ def main(detector_on: bool = True):
         np.stack(frames_np[i * CHUNK : (i + 1) * CHUNK + 1])
         for i in range(NUM_CHUNKS)
     ]
+    # every TIMED upload ships DISTINCT bytes: the relay serves
+    # identical (program, args) re-executions from a cache (CLAUDE.md),
+    # and a content-cached transfer path would understate H2D the same
+    # way (ADVICE r4) — so each rep's window is np.rolled by a
+    # rep-specific offset BEFORE timing (host memcpys stay out of the
+    # timed loop), and warm-up gets its own window no timed step reuses
+    timed_windows = [
+        np.roll(host_chunks[step % NUM_CHUNKS],
+                7 * (step // NUM_CHUNKS + 1), axis=2)
+        for step in range(REPS * NUM_CHUNKS)
+    ]
+    warm_window = np.roll(host_chunks[0], 13, axis=1)
 
     @jax.jit
     def chunk_step(parts, key, acc):
@@ -217,7 +232,7 @@ def main(detector_on: bool = True):
     acc0 = jnp.zeros((), jnp.float32)
     # warm-up: compile + one real execution (block_until_ready is lazy
     # on this backend; fetching a scalar forces completion)
-    key, acc = chunk_step(put_parts(host_chunks[0]), key, acc0)
+    key, acc = chunk_step(put_parts(warm_window), key, acc0)
     float(acc)
     _log(f"compiled; timing {REPS * NUM_CHUNKS} chunks of {CHUNK} frames "
          f"(H2D in-loop, split {H2D_SPLIT}, single final sync)")
@@ -229,11 +244,11 @@ def main(detector_on: bool = True):
     total_frames = REPS * NUM_CHUNKS * CHUNK
     acc = acc0
     t0 = time.perf_counter()
-    parts = put_parts(host_chunks[0])
+    parts = put_parts(timed_windows[0])
     for step in range(REPS * NUM_CHUNKS):
         key, acc = chunk_step(parts, key, acc)  # async dispatch
         if step + 1 < REPS * NUM_CHUNKS:
-            parts = put_parts(host_chunks[(step + 1) % NUM_CHUNKS])
+            parts = put_parts(timed_windows[step + 1])
     n_inl = float(acc)  # single sync for the whole run
     dt = time.perf_counter() - t0
     fps = total_frames / dt
