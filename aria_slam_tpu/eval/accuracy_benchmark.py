@@ -258,6 +258,15 @@ def main():
                  <= report["vio"]["ate_noscale_rmse_m"] * 1.05 + 0.01)
             if ("ate_noscale_rmse_m" in report["vio_lc"]
                 and "ate_noscale_rmse_m" in report["vio"]) else None),
+        # rotation-quality guard on the LC config (VERDICT r4 weak #5):
+        # the r3 failure mode was loop edges TWISTING the trajectory
+        # (rot RPE 0.17 -> 7 deg); r4's fix holds it to a mild trade
+        # (0.0654 -> 0.0857 deg) — gate at vio*1.5+0.02 deg so a
+        # regression of that channel can't land silently while ATE
+        # still improves
+        "lc_rot_rpe_not_twisted": bool(
+            report["vio_lc"]["rpe_rot_deg"]
+            <= report["vio"]["rpe_rot_deg"] * 1.5 + 0.02),
         "loops_found": report["vio_lc"]["loops"],
     }
     report["ordering"] = ordering

@@ -128,6 +128,16 @@ def associate_and_score(data, est_ts, est_T, delta: int = 10):
                        if len(gt_pos) else float("nan")),
         "rpe_rot_deg": rot,
     }
+    if len(gt_pos) >= 3:
+        # scale diagnostics in EVERY consumer (VERDICT r4 weak #4: a
+        # multi_eval sequence showed raw 2.21 m vs Sim3 0.30 m with no
+        # way to tell scale failure from frame offset): the Umeyama
+        # scale factor (1.0 == already metric) and the rigid-aligned
+        # (scale-fixed) ATE localize which it is.
+        s_um, _, _ = align_umeyama(est_kept, gt_pos)
+        scores["umeyama_scale"] = float(s_um)
+        scores["ate_noscale_rmse_m"] = ate_rmse(
+            est_kept, gt_pos, with_scale=False)
     return scores, gt_pos, keep
 
 

@@ -102,6 +102,18 @@ def test_rotation_rpe_bounded(results):
         f"rot RPE {results['lc']['rpe_rot_deg']:.2f} deg")
 
 
+def test_lc_does_not_twist_rotations(results):
+    """VERDICT r4 weak #5: loop closure may trade a LITTLE rotation
+    quality for halved ATE (r4 on-chip: 0.0654 -> 0.0857 deg) but the
+    r3 twist-the-trajectory failure mode (0.17 -> 7 deg on full runs)
+    must not silently return — RELATIVE gate at nolc*1.5 + 0.02 deg,
+    mirrored in accuracy_benchmark's ordering block."""
+    assert (results["lc"]["rpe_rot_deg"]
+            <= results["nolc"]["rpe_rot_deg"] * 1.5 + 0.02), (
+        f"LC twisted rotations: {results['nolc']['rpe_rot_deg']:.3f} -> "
+        f"{results['lc']['rpe_rot_deg']:.3f} deg RPE@10")
+
+
 def test_loop_closure_preserves_metric_scale(results):
     """VERDICT r3 #3: loop edges must not drag the global scale (r3:
     umeyama 1.19 -> 1.33 with LC on, noscale ATE +34%). With the r4
