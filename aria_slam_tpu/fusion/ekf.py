@@ -86,6 +86,18 @@ def predict(state: EkfState, t: jnp.ndarray, accel: jnp.ndarray, gyro: jnp.ndarr
     Gated: no-op (except timestamp bookkeeping) if dt <= 0, dt > max_dt,
     first sample, or filter not initialized.
     """
+    return _predict_core(state, t, accel, gyro, cfg)[0]
+
+
+def _predict_core(state: EkfState, t, accel, gyro, cfg: EkfConfig):
+    """predict + the EFFECTIVE error-state transition Jacobian.
+
+    Returns (new_state, F_eff) where F_eff is the 15x15 transition the
+    step actually applied: the dynamics Jacobian when the step ran,
+    identity when gated — exactly what the RTS backward pass needs
+    (a gated step is an identity transition, so the smoothing gain
+    collapses to P P^-1 = I and corrections pass through unchanged).
+    """
     dt = t - state.last_imu_t
     first = state.last_imu_t < 0
     ok = state.initialized & (~first) & (dt > 0) & (dt <= cfg.max_dt)
@@ -125,7 +137,7 @@ def predict(state: EkfState, t: jnp.ndarray, accel: jnp.ndarray, gyro: jnp.ndarr
     P_new = F @ state.P @ F.T + G @ Q @ G.T
     P_new = 0.5 * (P_new + P_new.T)
 
-    return EkfState(
+    new = EkfState(
         pos=jnp.where(ok, pos_new, state.pos),
         vel=jnp.where(ok, vel_new, state.vel),
         quat=jnp.where(ok, quat_new, state.quat),
@@ -135,6 +147,9 @@ def predict(state: EkfState, t: jnp.ndarray, accel: jnp.ndarray, gyro: jnp.ndarr
         last_imu_t=jnp.where(state.initialized, t, state.last_imu_t),
         initialized=state.initialized,
     )
+    # dt was zeroed above when gated, so every dt-scaled block of F
+    # vanished and F already IS the identity in that case
+    return new, F
 
 
 def update(state: EkfState, R_meas: jnp.ndarray, t_meas: jnp.ndarray,
@@ -142,6 +157,19 @@ def update(state: EkfState, R_meas: jnp.ndarray, t_meas: jnp.ndarray,
            meas_valid: jnp.ndarray | bool = True) -> EkfState:
     """One visual-pose update (parity: addVisualPose/updateEKF,
     IMU.cpp:224-305). First valid measurement initializes the state."""
+    return _update_core(state, R_meas, t_meas, timestamp, cfg, meas_valid)[0]
+
+
+def _update_core(state: EkfState, R_meas, t_meas, timestamp, cfg: EkfConfig,
+                 meas_valid=True):
+    """update + the EFFECTIVE error-state correction.
+
+    Returns (new_state, dx_eff, did_init): dx_eff is the 15-vector the
+    update actually applied to the error state (K @ innovation when an
+    EKF update ran, zeros when gated or initializing) and did_init
+    flags the init event — the RTS backward pass needs dx per event and
+    must treat initialization as a barrier (states before the first
+    visual pose carry no information to smooth)."""
     meas_valid = jnp.asarray(meas_valid)
 
     # --- initialization branch
@@ -181,7 +209,7 @@ def update(state: EkfState, R_meas: jnp.ndarray, t_meas: jnp.ndarray,
     def pick(init_val, upd_val, keep_val):
         return jnp.where(do_init, init_val, jnp.where(do_update, upd_val, keep_val))
 
-    return EkfState(
+    new = EkfState(
         pos=pick(t_meas, pos_u, state.pos),
         vel=pick(jnp.zeros(3, dtype), vel_u, state.vel),
         quat=pick(q_meas, quat_u, state.quat),
@@ -191,6 +219,8 @@ def update(state: EkfState, R_meas: jnp.ndarray, t_meas: jnp.ndarray,
         last_imu_t=jnp.where(do_init, timestamp, state.last_imu_t),
         initialized=state.initialized | do_init,
     )
+    dx_eff = jnp.where(do_update, dx, jnp.zeros(15, dtype))
+    return new, dx_eff, do_init
 
 
 def frame_step(state: EkfState, imu_t: jnp.ndarray, imu_accel: jnp.ndarray,
@@ -211,11 +241,23 @@ def frame_step(state: EkfState, imu_t: jnp.ndarray, imu_accel: jnp.ndarray,
     return update(state, R_vo, t_vo, frame_t, cfg, vo_valid)
 
 
-def run_sequence(imu_t, imu_accel, imu_gyro, vo_t, vo_R, vo_t_pos, cfg: EkfConfig):
+def run_sequence(imu_t, imu_accel, imu_gyro, vo_t, vo_R, vo_t_pos,
+                 cfg: EkfConfig, smooth: bool = False):
     """Offline fusion over full streams: merge 200 Hz IMU and 30 Hz VO
     into one time-sorted tagged stream and lax.scan it (SURVEY.md §3.3
     'the lynchpin for the JAX design'). Returns the fused pose at every
     VO timestamp.
+
+    smooth=True runs a Rauch-Tung-Striebel backward pass over the
+    error state after the forward filter (VERDICT r4 missing #2: the
+    CAUSAL filter output lags its own input, so feeding it the
+    loop-closed graph chain left ate_fused strictly worse than the
+    chain it consumed — 0.1857 vs 0.1734 m Sim3. The smoother uses
+    future measurements symmetrically; offline evaluation is exactly
+    where that is legitimate). Reference comparison: euroc_eval.cpp
+    ducks this by consuming raw VO while feeding the EKF
+    (src/euroc_eval.cpp:203-250) — here the smoothed track is the
+    fused output.
 
     imu_*: (M, ...), vo_*: (V, ...). All float32, times in seconds.
 
@@ -270,17 +312,27 @@ def run_sequence(imu_t, imu_accel, imu_gyro, vo_t, vo_R, vo_t_pos, cfg: EkfConfi
     def body(s, inp):
         t, tag, pa, pw, pR = inp
         is_imu = tag == 0
-        s_imu = predict(s, t, pa, pw, cfg)
-        s_vo = update(s, pR, pa, t, cfg, True)
+        s_imu, F_imu = _predict_core(s, t, pa, pw, cfg)
+        s_vo, dx_vo, did_init = _update_core(s, pR, pa, t, cfg, True)
         s = jax.tree_util.tree_map(
             lambda a_, b_: jnp.where(is_imu, a_, b_), s_imu, s_vo
         )
-        return s, (s.pos, s.quat)
+        eye = jnp.eye(15, dtype=s.P.dtype)
+        F_eff = jnp.where(is_imu, F_imu, eye)
+        dx_eff = jnp.where(is_imu, jnp.zeros(15, s.P.dtype), dx_vo)
+        barrier = (~is_imu) & did_init
+        return s, (s.pos, s.quat, s.P, F_eff, dx_eff, barrier)
 
     state0 = init_state(imu_t.dtype)
-    _, (pos_hist, quat_hist) = jax.lax.scan(
-        body, state0, (all_t, tags, payload_a, payload_w, payload_R)
-    )
+    _, (pos_hist, quat_hist, P_hist, F_hist, dx_hist, barrier_hist) = (
+        jax.lax.scan(body, state0,
+                     (all_t, tags, payload_a, payload_w, payload_R)))
+
+    if smooth:
+        pos_hist, quat_hist = _rts_backward(
+            pos_hist, quat_hist, P_hist, F_hist, dx_hist, barrier_hist,
+            tags)
+
     # fused pose right after each VO update: scatter VO rows into their
     # slots (IMU rows carry vo_slot = -1 and are dropped)
     is_vo = tags == 1
@@ -291,3 +343,67 @@ def run_sequence(imu_t, imu_accel, imu_gyro, vo_t, vo_R, vo_t_pos, cfg: EkfConfi
         jnp.where(is_vo[:, None], quat_hist, 0.0), mode="drop"
     )
     return out_pos, out_quat
+
+
+def _rts_backward(pos, quat, P, F, dx, barrier, tags):
+    """RTS smoothing over the merged event stream's ERROR state.
+
+    Inputs are per-event POST-event quantities from the forward scan:
+    P (N,15,15) posterior covariance, F (N,15,15) the transition the
+    event applied (dynamics for IMU events, identity for VO events —
+    both identity when gated), dx (N,15) the correction a VO update
+    applied (zeros otherwise), barrier (N,) the init event, tags (N,)
+    0=IMU / 1=VO.
+
+    The recursion (delta_e = smoothed-minus-filtered error at event e):
+
+        P-_{e+1} = F_{e+1} P+_e F^T_{e+1} + GQG^T   (IMU event)
+                 = P+_e                             (VO event, F = I)
+        C_e      = P+_e F^T_{e+1} (P-_{e+1})^{-1}
+        delta_e  = C_e (delta_{e+1} + dx_{e+1})
+
+    The prior covariance needs no extra storage: an IMU event's
+    posterior IS its prior (no update), and a VO event's prior is the
+    PREVIOUS posterior (identity transition) — so P- comes from the
+    stored posteriors on both branches. The init event is a barrier:
+    its dx is zero by construction and corrections must not flow into
+    the pre-initialization prefix (delta forced to 0 there).
+
+    The 15x15 solve uses the statically-unrolled Cholesky
+    (ops/linalg.py — jnp.linalg on small matrices lowers poorly on
+    this stack), batched over the 15 rows of P+ F^T.
+    """
+    from aria_slam_tpu.ops.linalg import cholesky_solve
+
+    dtype = P.dtype
+    eps = jnp.eye(15, dtype=dtype) * 1e-10  # f32 Cholesky safety floor
+
+    # step e consumes P+_e and the (e+1) event's F/P/dx/barrier/tag
+    P_prev = P[:-1]
+    is_imu_next = (tags[1:] == 0)
+    P_minus_next = jnp.where(is_imu_next[:, None, None], P[1:], P_prev)
+    F_next = F[1:]
+    dx_next = dx[1:]
+    barrier_next = barrier[1:]
+
+    def bstep(delta, inp):
+        Pp, Pm, Fn, dxn, barn = inp
+        A = Pp @ Fn.T                      # (15, 15)
+        # C = Pp Fn^T Pm^-1: row j of C solves Pm^T c_j = A[j] (Pm sym)
+        C = cholesky_solve(Pm + eps, A)    # batched over A's rows
+        d = C @ (delta + dxn)
+        d = jnp.where(barn, jnp.zeros_like(d), d)
+        return d, d
+
+    d_last = jnp.zeros(15, dtype)
+    _, deltas = jax.lax.scan(
+        bstep, d_last,
+        (P_prev, P_minus_next, F_next, dx_next, barrier_next),
+        reverse=True)
+    deltas = jnp.concatenate([deltas, d_last[None]], axis=0)  # (N, 15)
+
+    pos_s = pos + deltas[:, 0:3]
+    quat_s = jax.vmap(
+        lambda dth, q: lie.quat_normalize(
+            lie.quat_mul(lie.so3_exp_quat(dth), q)))(deltas[:, 6:9], quat)
+    return pos_s, quat_s

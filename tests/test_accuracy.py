@@ -85,12 +85,21 @@ def test_loop_closure_found_and_not_harmful(results):
         f"no-LC {results['nolc']['ate_rmse_m']:.3f}")
 
 
-def test_vio_not_worse_than_vo(results):
-    """The EKF-fused track must not degrade the VO it consumes."""
+def test_fused_beats_optimized_chain(results):
+    """VERDICT r4 missing #2 (gate flipped from not-worse to beats):
+    the offline fused track runs an RTS backward pass over the
+    loop-closed, final-optimized chain, so it must be at least as good
+    as the chain it consumes — a CAUSAL filter necessarily lags its
+    input and was strictly worse in the r4 artifact (0.1857 vs
+    0.1734 m Sim3)."""
     r = results["lc"]
     assert "ate_fused_rmse_m" in r
-    assert r["ate_fused_rmse_m"] <= r["ate_rmse_m"] * 1.10 + 0.02, (
-        f"fused {r['ate_fused_rmse_m']:.3f} vs VO {r['ate_rmse_m']:.3f}")
+    assert r["ate_fused_rmse_m"] <= r["ate_rmse_m"] + 1e-3, (
+        f"fused {r['ate_fused_rmse_m']:.4f} worse than the optimized "
+        f"chain {r['ate_rmse_m']:.4f}")
+    assert r["ate_fused_raw_rmse_m"] <= r["ate_raw_rmse_m"] + 1e-3, (
+        f"fused raw {r['ate_fused_raw_rmse_m']:.4f} vs "
+        f"chain raw {r['ate_raw_rmse_m']:.4f}")
 
 
 def test_rotation_rpe_bounded(results):

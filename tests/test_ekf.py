@@ -142,3 +142,46 @@ def test_frame_step_matches_incremental():
 
     np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos), atol=1e-6)
     np.testing.assert_allclose(np.asarray(out.P), np.asarray(ref.P), atol=1e-6)
+
+
+def test_rts_smoother_beats_causal_filter():
+    """VERDICT r4 missing #2: the causal filter's output lags its input,
+    so on a noisy VO stream the RTS-smoothed track must beat the
+    filtered one against analytic GT (the smoother sees the future
+    symmetrically). Also pins the no-regression direction: smoothing a
+    CLEAN stream must not blow it up (deltas stay small and finite)."""
+    data = synthetic.circular_motion()
+    vo_t, vo_R, vo_p = _vo_stream(data)
+    rng = np.random.default_rng(7)
+    vo_noisy = vo_p + rng.normal(0, 0.05, vo_p.shape).astype(np.float32)
+
+    args = (
+        jnp.asarray(data["imu_t"]),
+        jnp.asarray(data["accel"]),
+        jnp.asarray(data["gyro"]),
+        jnp.asarray(vo_t),
+        jnp.asarray(vo_R),
+        jnp.asarray(vo_noisy),
+    )
+    pos_f, _ = jax.jit(lambda *a: ekf.run_sequence(*a, CFG))(*args)
+    pos_s, quat_s = jax.jit(
+        lambda *a: ekf.run_sequence(*a, CFG, smooth=True))(*args)
+    gt = data["gt_pos"](vo_t)
+    err_f = np.linalg.norm(np.asarray(pos_f) - gt, axis=1)[5:]
+    err_s = np.linalg.norm(np.asarray(pos_s) - gt, axis=1)[5:]
+    assert np.all(np.isfinite(np.asarray(pos_s)))
+    assert np.all(np.isfinite(np.asarray(quat_s)))
+    assert err_s.mean() < err_f.mean(), (
+        f"smoothed {err_s.mean():.4f} m not better than "
+        f"filtered {err_f.mean():.4f} m")
+
+    # clean stream: smoothing must not degrade a near-perfect input
+    pos_fc, _ = jax.jit(lambda *a: ekf.run_sequence(*a, CFG))(
+        *args[:5], jnp.asarray(vo_p))
+    pos_sc, _ = jax.jit(lambda *a: ekf.run_sequence(*a, CFG, smooth=True))(
+        *args[:5], jnp.asarray(vo_p))
+    err_fc = np.linalg.norm(np.asarray(pos_fc) - gt, axis=1)[5:]
+    err_sc = np.linalg.norm(np.asarray(pos_sc) - gt, axis=1)[5:]
+    assert err_sc.mean() <= err_fc.mean() * 1.05 + 1e-4, (
+        f"smoothing degraded a clean stream: {err_fc.mean():.5f} -> "
+        f"{err_sc.mean():.5f} m")
