@@ -281,16 +281,27 @@ class PipelineConfig:
     # the r4 probe (GT-epipolar-perpendicular displacement component,
     # median over 239 pairs).
     vo_pin_sigma_px: float = 0.55
-    # EMA the chain's metric toward the lag-pair (backbone) pin metric.
-    # OFF by default: the r4 edge audits measured the backbone pin
-    # biased ~29% SMALL at BOTH resolutions (lag-pair depth pins carry
-    # their own systematic bias) while the gyro-fused + chunk-BA chain
-    # pin sat within ~4% of metric at full res — so the chain is the
-    # better anchor and consistency must flow chain -> backbone (see
-    # backbone_t_source), not the reverse. Kept as an A/B lever for
-    # scenes where the consecutive-pair pin is the broken one; needs
-    # pose_graph.backbone_weight > 0 (the lag-pair RANSAC rides the
-    # backbone block).
+    # Wide-baseline (lag-pair) scale pin: replace each consecutive
+    # pin's magnitude with the gyro-fused lag-window pin's, allocated
+    # within the window by the consecutive pins' relative sizes (their
+    # shared direction-noise bias cancels in the allocation). r5
+    # redesign — works WITHOUT backbone graph edges now, and the
+    # correction is LOCAL per pair (the r4 global-EMA form could not
+    # track the consecutive pin's 1-6x per-chunk bias swing). Evidence
+    # (PIN_LAGS_r05.json + SCALE_PIN_r05.json): the gyro-fused lag-4
+    # pin sits at the oracle floor at both resolutions (low-res 0.90
+    # vs the consecutive pin's 2.24 — direction noise collapses ~lag^2)
+    # and the low-res rotloop A/B improves every metric: raw ATE 2.72
+    # -> 1.05 m, rigid 1.22 -> 0.80, Sim3 0.87 -> 0.71, |log umeyama|
+    # 0.55 -> 0.34 (the residual is the shared vo_scene_depth-prior
+    # definition floor every estimator shows, GT oracles included).
+    # OFF by default: at full res the consecutive pin's small direction
+    # inflation happens to cancel the prior floor (umeyama 0.96-1.08
+    # end-to-end), so the lever pays at small-baseline / low-res
+    # operating points; enable it there. Composing it with
+    # imu_metric_scale at low excitation is UNVALIDATED (one r5 probe
+    # run showed the vi_init consensus mis-committing 3.4x while the
+    # local correction moved the chain under its windows).
     vo_backbone_scale: bool = False
     # pin the chain's metric on the chunk-BA landmark depths instead of
     # the two-view pair depths: landmarks triangulated from EVERY frame

@@ -41,8 +41,12 @@ VERIFY_MAX = 16  # MINIMUM loop-closure candidate pairs verified per
 # log-EMA gain on the median backbone/chain displacement ratio, and the
 # per-chunk clamp. Gain < 1 smooths the per-chunk median's noise
 # (~13 lag pairs per chunk-16); the clamp bounds a pathological chunk.
+# Clamp widened r5: the low-res consecutive pin reads ~2.24x large
+# (PIN_LAGS_r05.json lag1) while the lag-4 pin sits at the oracle
+# floor, so the REAL correction target is ~0.40-0.45 — the old 0.5
+# floor saturated exactly where the lever matters most.
 VIS_SCALE_GAIN = 0.5
-VIS_SCALE_CLAMP = (0.5, 2.0)
+VIS_SCALE_CLAMP = (0.3, 3.0)
 VIS_SCALE_MIN_PAIRS = 4
 
 # multi-view landmark-depth scale pin (config.ba_scale_pin): per-chunk
@@ -269,14 +273,36 @@ class ChunkedSlam:
             # that makes consecutive-pair translation DIRECTIONS unusable
             # (median ~60 deg error measured at 1.7% baseline/depth);
             # these become weighted pose-graph edges alongside the chain
-            # (config.PoseGraphConfig.backbone_weight).
-            if cfg.pose_graph.backbone_weight > 0 and cfg.vo_scale_mode != "unit":
+            # (config.PoseGraphConfig.backbone_weight) AND/OR the scale
+            # correction's lag-pin source (config.vo_backbone_scale —
+            # r5: usable without backbone edges, the r4 coupling made
+            # the scale lever drag in the edge channel the r4 audit
+            # killed).
+            if ((cfg.pose_graph.backbone_weight > 0 or cfg.vo_backbone_scale)
+                    and cfg.vo_scale_mode != "unit"):
                 keys_l = jax.random.split(
                     jax.random.fold_in(key, 1), frames.shape[0] - lag)
+                # composed gyro prior over each lag window: the lag
+                # pin's whole value is low direction/rotation noise,
+                # and a two-view rotation solved WITHOUT the gyro put
+                # rotation error straight into the lag parallax — the
+                # r5 A/B measured the ungyroed lag pin ~0.6x metric
+                # end-to-end while the gyro-rotation probe ladder had
+                # it at 0.90 (PIN_LAGS_r05.json lag4). D_{i->i+L} =
+                # D_{i+L-1} ... D_i, same convention as the chain.
+                Rg_lag = gyro_R[:frames.shape[0] - lag]
+                ok_lag = gyro_ok[:frames.shape[0] - lag]
+                for s_ in range(1, lag):
+                    Rg_lag = jnp.einsum(
+                        "nij,njk->nik",
+                        gyro_R[s_:s_ + frames.shape[0] - lag], Rg_lag)
+                    ok_lag = ok_lag & gyro_ok[s_:s_ + frames.shape[0]
+                                              - lag]
 
-                def pose_lag(uv1, uv2, vv, k):
-                    delta = epipolar.estimate_relative_pose(
-                        uv1, uv2, vv, K, cfg.ransac, k)
+                def pose_lag(uv1, uv2, vv, k, Rg_w, okg_w):
+                    delta = epipolar.estimate_pose_gyro_fused(
+                        uv1, uv2, vv, K, cfg.ransac, k, Rg_w, okg_w,
+                        in_thresh_sq)
                     # same pin estimator as the consecutive-pair pin
                     # (vo_pin_estimator): mixing estimators with
                     # different multiplicative biases would make the
@@ -291,7 +317,7 @@ class ChunkedSlam:
 
                 (out["Rl"], out["tl"], out["okl"], out["pinl"],
                  out["pinokl"]) = jax.vmap(pose_lag)(
-                    uvl_prev, lcur.xy, lvalid, keys_l)
+                    uvl_prev, lcur.xy, lvalid, keys_l, Rg_lag, ok_lag)
             return out
 
         self._frontend = jax.jit(frontend)
@@ -462,8 +488,13 @@ class ChunkedSlam:
         self._scale_est = None
         self._imu_corr = 1.0
         # wide-baseline (backbone) scale correction — see config
-        # .vo_backbone_scale; composes multiplicatively with _imu_corr
+        # .vo_backbone_scale. In median_depth mode the correction is
+        # LOCAL (per pair, inside _chain_scales) and _vis_corr stays 1;
+        # the global EMA remains only for the propagate-mode re-anchor
+        # path. _vis_local: trailing chunk-median lag/consecutive pin
+        # ratio, the fallback for pairs with no valid covering window.
         self._vis_corr = 1.0
+        self._vis_local = 1.0
         # multi-view landmark-depth pin correction (config.ba_scale_pin)
         self._ba_corr = 1.0
         # VINS-style retroactive metric rebase: when the IMU correction
@@ -504,6 +535,46 @@ class ChunkedSlam:
         corr = self._imu_corr * self._vis_corr * self._ba_corr
         pins = np.asarray(out["pins"])
         if mode == "median_depth":
+            if self.cfg.vo_backbone_scale and "pinl" in out:
+                # LOCAL wide-baseline correction (r5): replace each
+                # consecutive pin's magnitude with the lag-window pin's,
+                # allocated within the window by the consecutive pins'
+                # RELATIVE sizes (their common direction-noise bias
+                # cancels in pins_k / sum(pins_window)). The r5 probe
+                # ladder (PIN_LAGS_r05.json) measured the gyro-fused
+                # lag-4 pin at the oracle floor (low-res 0.90 vs the
+                # consecutive pin's 2.24) and the instrumented chunks
+                # put pinl/chord_gt at 0.77-1.04 — but the bias of the
+                # consecutive pin VARIES 1-6x chunk to chunk, which is
+                # why the earlier global-EMA form (one _vis_corr for
+                # the whole run) overshot: a global factor cannot track
+                # a per-chunk bias. Median over the <= lag windows
+                # covering each pair; chunk-median fallback for edge
+                # pairs; trailing value for a chunk with no valid
+                # window.
+                pinl = np.asarray(out["pinl"])
+                okw = (np.asarray(out["okl"])
+                       & np.asarray(out["pinokl"])
+                       & np.isfinite(pinl))
+                nlag = pinl.shape[0]
+                lag = self.lag
+                sums = np.array([pins[w:w + lag].sum()
+                                 for w in range(nlag)], np.float32)
+                okw = okw & (sums > 1e-6) & (pinl > 1e-6)
+                r_w = np.where(okw, pinl / np.maximum(sums, 1e-6), 1.0)
+                logr = np.log(np.clip(r_w, 1e-3, 1e3))
+                if okw.any():
+                    chunk_med = float(np.exp(np.median(logr[okw])))
+                    self._vis_local = chunk_med  # trailing fallback
+                loc = np.full(c, self._vis_local, np.float32)
+                for k in range(c):
+                    lo = max(0, k - lag + 1)
+                    hi = min(k, nlag - 1)
+                    cover = np.arange(lo, hi + 1)
+                    cover = cover[okw[cover]] if len(cover) else cover
+                    if len(cover):
+                        loc[k] = np.exp(np.median(logr[cover]))
+                pins = pins * loc
             return np.clip(pins * corr, 1e-4, 1e4)
         ratios = np.asarray(out["ratios"])
         rcounts = np.asarray(out["rcounts"])
@@ -819,18 +890,36 @@ class ChunkedSlam:
                 bvalid = pin_ok
             # wide-baseline scale correction (config.vo_backbone_scale):
             # EMA the chain's metric toward the lag-pair pin metric.
-            # Both m_pin and d_chain already carry the running
+            # Both m_pin and the denominator carry the running
             # correction, so their ratio measures the RAW pin
             # discrepancy pinl/pins — a correction-invariant constant
             # that IS the absolute target for _vis_corr (EMA toward it;
             # a cumulative multiply would diverge since the measured
             # ratio never shrinks as the correction applies).
-            if cfg.vo_backbone_scale and cfg.vo_scale_mode != "unit":
-                okv = pin_ok & np.isfinite(m_pin) & (d_chain > 1e-3)
+            # Denominator = ARC length (sum of consecutive-pair scales
+            # over the window), NOT the chord |c_i - c_{i-lag}| of the
+            # BA-refined poses: intra-chunk BA position jitter adds to
+            # the chord in quadrature and acted as fake baseline — the
+            # r5 low-res A/B overshot 1.5x through the chord (umeyama
+            # 0.58 -> 1.65) exactly as the r4 BA-midpoint probes did.
+            # Chord-vs-arc curvature bias over a 0.4 s window is small
+            # and the median eats the 1-2 sweep-reversal windows per
+            # chunk.
+            if (cfg.vo_backbone_scale
+                    and cfg.vo_scale_mode not in ("unit", "median_depth")):
+                # propagate mode only: median_depth applies the lag-pin
+                # correction LOCALLY inside _chain_scales (a global EMA
+                # cannot track the consecutive pin's 1-6x per-chunk
+                # bias swing — the r5 A/Bs overshot through both chord
+                # and arc denominators before the local form landed)
+                d_arc = np.array([
+                    scales[w:w + self.lag].sum() for w in range(nlag)
+                ], np.float32)
+                okv = pin_ok & np.isfinite(m_pin) & (d_arc > 1e-3)
                 if int(okv.sum()) >= VIS_SCALE_MIN_PAIRS:
                     r = float(np.clip(
                         np.exp(np.median(np.log(
-                            m_pin[okv] / d_chain[okv]))),
+                            m_pin[okv] / d_arc[okv]))),
                         *VIS_SCALE_CLAMP))
                     self._vis_corr = float(np.exp(
                         (1.0 - VIS_SCALE_GAIN) * np.log(self._vis_corr)
@@ -847,15 +936,24 @@ class ChunkedSlam:
             # in closed rigid form, which never raises on garbage rows
             # (degrade-don't-crash, SURVEY §5.3).
             bvalid = bvalid & np.isfinite(Tl).all(axis=(1, 2))
-            Tl[~bvalid] = np.eye(4, dtype=np.float32)
-            RlT = np.transpose(Tl[:, :3, :3], (0, 2, 1))
-            rels_l = np.tile(np.eye(4, dtype=np.float32), (nlag, 1, 1))
-            rels_l[:, :3, :3] = RlT
-            rels_l[:, :3, 3] = -np.einsum("nij,nj->ni", RlT, Tl[:, :3, 3])
-            with self._st("backbone_edges"):
-                self.graph = self._add_backbone(
-                    self.graph, jnp.asarray(i_idx), jnp.asarray(j_idx),
-                    jnp.asarray(rels_l), jnp.asarray(bvalid))
+            # GRAPH edges only when the edge channel is on: with
+            # vo_backbone_scale alone the lag pairs feed the scale
+            # correction above and nothing else (the r4 audit killed
+            # weight-carrying backbone edges; adding weight-0 rows
+            # would only burn edge capacity and a dispatch)
+            if cfg.pose_graph.backbone_weight > 0:
+                Tl[~bvalid] = np.eye(4, dtype=np.float32)
+                RlT = np.transpose(Tl[:, :3, :3], (0, 2, 1))
+                rels_l = np.tile(np.eye(4, dtype=np.float32),
+                                 (nlag, 1, 1))
+                rels_l[:, :3, :3] = RlT
+                rels_l[:, :3, 3] = -np.einsum("nij,nj->ni", RlT,
+                                              Tl[:, :3, 3])
+                with self._st("backbone_edges"):
+                    self.graph = self._add_backbone(
+                        self.graph, jnp.asarray(i_idx),
+                        jnp.asarray(j_idx), jnp.asarray(rels_l),
+                        jnp.asarray(bvalid))
 
         # ---- loop closure (prefilter chunk, verify best candidates).
         # Histogram prefilter + exact candidate scoring ride ONE fused
@@ -1042,7 +1140,8 @@ class ChunkedSlam:
         arrays["counters"] = np.array(
             [self.frame_count, self.num_loops, self._db_head], np.int64)
         arrays["scales"] = np.array(
-            [self._scale, self._imu_corr, self._vis_corr, self._ba_corr],
+            [self._scale, self._imu_corr, self._vis_corr, self._ba_corr,
+             self._vis_local],
             np.float64)
         arrays["traj_ts"] = np.array(
             [t for t, _ in self.trajectory], np.float64)
@@ -1115,6 +1214,8 @@ class ChunkedSlam:
                           if data["scales"].shape[0] > 2 else 1.0)
         self._ba_corr = (float(data["scales"][3])
                          if data["scales"].shape[0] > 3 else 1.0)
+        self._vis_local = (float(data["scales"][4])
+                           if data["scales"].shape[0] > 4 else 1.0)
         self.trajectory = [(float(t), T) for t, T in
                            zip(data["traj_ts"], data["traj_T"])]
         if "est_state" in data:

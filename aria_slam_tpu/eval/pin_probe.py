@@ -42,7 +42,29 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 
 def run(full_res: bool, frames: int = 240, scene_dir: str | None = None,
-        verbose: bool = True) -> dict:
+        verbose: bool = True, lag: int = 1) -> dict:
+    """lag: pair frames (i, i+lag). Wider pairs carry lag-x baseline, so
+    the translation-direction noise that drives the low-res pin bias
+    falls ~lag^2 while the scene depth (the pinned quantity) is
+    unchanged — the r5 probe ladder measuring whether a lag-pin
+    out-conditions the consecutive pin (VERDICT r5 follow-up to the r4
+    'backbone pins read -29%' finding).
+
+    Estimator key (per pair, ratio pin/|t_gt|, 1.0 = perfect):
+      pin_base        triangulated, est pose, est inliers (production)
+      pin_gt          triangulated, GT pose, est inliers
+      pin_gt_gtinl    triangulated, GT pose, GT-epipolar inliers —
+                      isolates the RANSAC-selection bias (difference
+                      vs pin_gt is pure inlier-selection)
+      pin_tfree       t-free parallax, est direction
+      pin_tfree_gtdir t-free parallax, GT direction
+      pin_rms         moment-debiased RMS parallax, est direction:
+                      sqrt(mean(sin^2 a d1z^2)/mean(usq - 2 sig^2)) —
+                      the per-point 1/beta floor in tfree biases its
+                      geomean; the ratio-of-means form is unbiased in
+                      the numerator/denominator moments
+      pin_rms_gtdir   same, GT direction
+    """
     import jax
     import jax.numpy as jnp
 
@@ -87,9 +109,10 @@ def run(full_res: bool, frames: int = 240, scene_dir: str | None = None,
         return T
 
     Ts = [gt_T(i) for i in range(frames)]
+    n_pairs = frames - lag
     R_gt, t_gt = [], []
-    for i in range(frames - 1):
-        D = np.linalg.inv(Ts[i + 1]) @ Ts[i]
+    for i in range(n_pairs):
+        D = np.linalg.inv(Ts[i + lag]) @ Ts[i]
         R_gt.append(D[:3, :3])
         t_gt.append(D[:3, 3])
     R_gt = np.stack(R_gt).astype(np.float32)
@@ -140,27 +163,73 @@ def run(full_res: bool, frames: int = 240, scene_dir: str | None = None,
                                               K, sig)
         pin_tfree_gtdir, _ = E.pin_scale(ztg, tggood, scene_depth)
 
+        # selection-bias oracle: GT pose AND GT-epipolar inliers (the
+        # only difference vs pin_gt is WHICH matches count — any gap is
+        # pure RANSAC/Sampson selection bias)
+        from aria_slam_tpu.core import lie as lie_mod
+
+        E_gt = lie_mod.skew(tg_unit) @ Rg
+        s_err = E.sampson_error(E_gt, p1, p2)
+        inl_gt = (s_err < in_thresh_sq) & valid
+        ggood2 = inl_gt & (z1g > 1e-3) & (z1g < 1e4)
+        pin_gt_gtinl, _ = E.pin_scale(z1g, ggood2, scene_depth)
+
+        # moment-debiased RMS parallax pin (est / GT direction): the
+        # ratio-of-means form is unbiased in both moments, unlike the
+        # per-point 1/beta geomean that the tfree floor biases
+        def rms_pin(t_dir, mask):
+            f1 = jnp.concatenate([p1, jnp.ones_like(p1[:, :1])], -1)
+            f2 = jnp.concatenate([p2, jnp.ones_like(p2[:, :1])], -1)
+            d1 = f1 / jnp.maximum(
+                jnp.linalg.norm(f1, axis=-1, keepdims=True), 1e-9)
+            d2p = f2 @ delta.R
+            d2p = d2p / jnp.maximum(
+                jnp.linalg.norm(d2p, axis=-1, keepdims=True), 1e-9)
+            u = d2p - jnp.sum(d2p * d1, -1, keepdims=True) * d1
+            usq = jnp.sum(u * u, -1)
+            focal_ = 0.5 * (K[0, 0] + K[1, 1])
+            sig2 = (sig / focal_) ** 2
+            beta2 = usq - 2.0 * sig2      # unbiased, may be negative
+            b = -(t_dir @ delta.R)
+            b = b / jnp.maximum(jnp.linalg.norm(b), 1e-12)
+            bp = b[None, :] - jnp.sum(b[None, :] * d1, -1,
+                                      keepdims=True) * d1
+            s2z2 = jnp.sum(bp * bp, -1) * d1[:, 2] ** 2
+            m = mask.astype(jnp.float32)
+            cnt = jnp.maximum(jnp.sum(m), 1.0)
+            num = jnp.sum(jnp.where(mask, s2z2, 0.0)) / cnt
+            den = jnp.sum(jnp.where(mask, beta2, 0.0)) / cnt
+            z_rms = jnp.sqrt(num / jnp.maximum(den, 1e-12))
+            return scene_depth / jnp.maximum(z_rms, 1e-3)
+
+        rms_mask = delta.inlier_mask & valid
+        pin_rms = rms_pin(delta.t, rms_mask)
+        pin_rms_gtdir = rms_pin(tg_unit, rms_mask)
+
         return dict(pin_base=pin_base, pin_gt=pin_gt, pin_tfree=pin_tfree,
                     pin_tfree_gtdir=pin_tfree_gtdir,
+                    pin_gt_gtinl=pin_gt_gtinl,
+                    pin_rms=pin_rms, pin_rms_gtdir=pin_rms_gtdir,
                     ok=delta.success)
 
     pj = jax.jit(pair_stats)
-    keys = jax.random.split(jax.random.PRNGKey(0), frames - 1)
+    keys = jax.random.split(jax.random.PRNGKey(0), n_pairs)
     rows = []
-    for i in range(frames - 1):
+    for i in range(n_pairs):
         pf = jax.tree.map(lambda x: x[i], feats)
-        cf = jax.tree.map(lambda x: x[i + 1], feats)
+        cf = jax.tree.map(lambda x: x[i + lag], feats)
         r = pj(pf, cf, keys[i], jnp.asarray(R_gt[i]),
                jnp.asarray(t_gt_unit[i]))
         rows.append({k: float(v) for k, v in r.items()})
         if verbose and i % 40 == 0:
-            print(f"pair {i}/{frames - 1}", flush=True)
+            print(f"pair {i}/{n_pairs}", flush=True)
 
     ok = np.array([r["ok"] > 0 for r in rows]) & (t_gt_norm > 1e-4)
-    out = {"full_res": full_res, "frames": frames,
+    out = {"full_res": full_res, "frames": frames, "lag": lag,
            "pairs_ok": int(ok.sum()), "pairs": len(rows),
            "sigma_px": cfg.vo_pin_sigma_px, "estimators": {}}
-    for name in ("pin_base", "pin_gt", "pin_tfree", "pin_tfree_gtdir"):
+    for name in ("pin_base", "pin_gt", "pin_gt_gtinl", "pin_tfree",
+                 "pin_tfree_gtdir", "pin_rms", "pin_rms_gtdir"):
         ratio = np.array([r[name] for r in rows])[ok] / t_gt_norm[ok]
         lr = np.log(np.clip(ratio, 1e-6, 1e6))
         out["estimators"][name] = {
@@ -179,8 +248,14 @@ def main():
     ap.add_argument("--frames", type=int, default=240)
     ap.add_argument("--scene", default=None)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--lags", type=int, nargs="+", default=[1],
+                    help="pair lags to sweep (e.g. --lags 1 2 4 8)")
     args = ap.parse_args()
-    rep = run(args.full_res, args.frames, args.scene)
+    if args.lags == [1]:
+        rep = run(args.full_res, args.frames, args.scene)
+    else:
+        rep = {f"lag{g}": run(args.full_res, args.frames, args.scene,
+                              lag=g) for g in args.lags}
     print(json.dumps(rep, indent=1))
     if args.out:
         with open(args.out, "w") as f:

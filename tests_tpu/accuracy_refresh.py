@@ -1,4 +1,4 @@
-"""On-chip refresh of ACCURACY_r04.json (VERDICT r3 #2/#3 evidence).
+"""On-chip accuracy artifact -> ACCURACY_r05.json.
 
 The committed round-4 accuracy artifact ran on the CPU backend while
 the TPU tunnel was down (meta.backend records this; Pallas/XLA parity
@@ -12,7 +12,7 @@ artifact with on-chip numbers, as the artifact's own meta note promised:
      must-improve gates — accelerometer beats the wrong prior).
 
 Run: python tests_tpu/accuracy_refresh.py      (uses the tunneled TPU)
-Writes ACCURACY_r04.json in the repo root. Reference comparison:
+Writes ACCURACY_r05.json in the repo root. Reference comparison:
 /root/reference/docs/milestones/H08_SENSOR_FUSION_AUDIT.md:726-729
 (ATE 0.45 -> 0.08 m with IMU) and src/legacy/LoopClosure.cpp:275-280
 (unit-scale loop edges, never audited for scale integrity).
@@ -48,25 +48,22 @@ def main():
         raise SystemExit(f"not on chip (device={dev}); refusing to "
                          "overwrite the artifact with non-TPU numbers")
 
-    main_rep = run_variant("/tmp/acc_r04_tpu", [])
-    exc_rep = run_variant("/tmp/acc_r04_exc_tpu", ["--excited"])
+    main_rep = run_variant("/tmp/acc_r05_tpu", [])
+    exc_rep = run_variant("/tmp/acc_r05_exc_tpu", ["--excited"])
 
     report = dict(main_rep)
     report["excited"] = {k: v for k, v in exc_rep.items()}
     # preserve the commentary key the committed artifact carries
     try:
-        with open(os.path.join(ROOT, "ACCURACY_r04.json")) as f:
+        with open(os.path.join(ROOT, "ACCURACY_r05.json")) as f:
             prev = json.load(f)
         note = prev.get("excited", {}).get("ordering_note")
         if note is not None and "ordering_note" not in report["excited"]:
             report["excited"]["ordering_note"] = note
     except Exception:
         pass
-    report["meta"]["backend"] = (
-        f"{dev} — on-chip refresh of the CPU-backend run committed while "
-        "the tunnel was down (estimator numbers carried via the bit-exact "
-        "Pallas/XLA parity, PARITY_TPU.json)")
-    path = os.path.join(ROOT, "ACCURACY_r04.json")
+    report["meta"]["backend"] = f"{dev} (on-chip r5 run)"
+    path = os.path.join(ROOT, "ACCURACY_r05.json")
     with open(path, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps({"ordering": report.get("ordering"),

@@ -1,4 +1,4 @@
-"""Full-SLAM steady-state chunk sweep (on-chip) -> TIMING_r04.json.
+"""Full-SLAM steady-state chunk sweep (on-chip) -> TIMING_r05.json.
 
 VERDICT r3 #5: commit a per-stage breakdown of the chunked full-SLAM
 steady state at the headline config and attack the dominant line. This
@@ -54,13 +54,21 @@ def main():
             "ate_rmse_m": round(res["ate_rmse_m"], 4),
             "ate_noscale_rmse_m": round(
                 res.get("ate_noscale_rmse_m", float("nan")), 4),
+            "umeyama_scale": round(
+                res.get("umeyama_scale", float("nan")), 4),
+            "rpe_rot_deg": round(res.get("rpe_rot_deg", float("nan")), 4),
+            # steady/warm split (VERDICT r4 weak #3): stage_ms means are
+            # steady-only; first-event compiles live in stage_ms_warm
             "stage_ms": res["stage_ms"],
             "stage_ms_p50": res.get("stage_ms_p50", {}),
+            "stage_ms_warm": res.get("stage_ms_warm", {}),
+            "stage_ms_steady_total": res.get("stage_ms_steady_total", {}),
+            "compile_wall_s": res.get("compile_wall_s", float("nan")),
         }
         print(f"chunk {chunk}: steady {res['steady_frame_ms']:.1f} ms/frame, "
               f"{res['loops']} loops", flush=True)
 
-    path = os.path.join(os.path.dirname(__file__), "..", "TIMING_r04.json")
+    path = os.path.join(os.path.dirname(__file__), "..", "TIMING_r05.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
