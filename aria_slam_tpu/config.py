@@ -295,13 +295,18 @@ class PipelineConfig:
     # -> 1.05 m, rigid 1.22 -> 0.80, Sim3 0.87 -> 0.71, |log umeyama|
     # 0.55 -> 0.34 (the residual is the shared vo_scene_depth-prior
     # definition floor every estimator shows, GT oracles included).
-    # OFF by default: at full res the consecutive pin's small direction
-    # inflation happens to cancel the prior floor (umeyama 0.96-1.08
-    # end-to-end), so the lever pays at small-baseline / low-res
-    # operating points; enable it there. Composing it with
-    # imu_metric_scale at low excitation is UNVALIDATED (one r5 probe
-    # run showed the vi_init consensus mis-committing 3.4x while the
-    # local correction moved the chain under its windows).
+    # It also pays at full res: the on-chip flagship rotloop reads raw
+    # ATE 0.74 -> 0.59, Sim3 0.34 -> 0.21, umeyama 1.008 with the pin
+    # (SCALE_PIN_r05.json fullres row), and the excited scene halves
+    # Sim3 ATE (0.44 -> 0.23). Composing with imu_metric_scale is
+    # SAFE for the local form: on the low-excitation rotloop vi_init's
+    # consensus correctly refuses to commit (imu scale 1.000 every
+    # chunk, results bit-identical to the no-IMU run) — the earlier
+    # mis-commit probe was the GLOBAL form shifting whole windows
+    # coherently. The package default stays False so the flip is an
+    # explicit per-deployment choice; the benchmark configs
+    # (eval/accuracy_benchmark.benchmark_config) enable it and every
+    # r5 accuracy artifact measures it.
     vo_backbone_scale: bool = False
     # pin the chain's metric on the chunk-BA landmark depths instead of
     # the two-view pair depths: landmarks triangulated from EVERY frame

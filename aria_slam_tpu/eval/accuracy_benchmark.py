@@ -73,6 +73,11 @@ def benchmark_config(full_res: bool = False, frames: int = 240) -> PipelineConfi
             max_nodes=max(256, frames + 16),
             max_edges=max(1024, 3 * frames),
             lm_iterations=5, cg_iterations=32),
+        # r5: gyro-fused lag-pair scale pins, applied locally — the
+        # measured win on every ATE flavor at both operating points
+        # (config.vo_backbone_scale docstring; SCALE_PIN_r05.json);
+        # the benchmark configs exercise it so the artifacts carry it
+        vo_backbone_scale=True,
     )
 
 
