@@ -322,6 +322,13 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
     results["stage_ms_steady_total"] = {
         name: round(s["total_ms"], 3) for name, s in stage_summary.items()
     }
+    # event counts: a count-1 stage's "steady" stats ARE its warm
+    # (compile-laden) single event (StageTimer fallback) — e.g. a rare
+    # loop_verify at big chunk sizes; without n a reader can't tell a
+    # 36 s p50 apart from a genuinely slow steady stage
+    results["stage_n"] = {
+        name: s["count"] for name, s in stage_summary.items()
+    }
     results["compile_wall_s"] = round(timer.warm_total_ms() / 1000.0, 3)
     if verbose:
         print("==== results ====")

@@ -71,7 +71,10 @@ NUM_CHUNKS = 4
 # relay H2D concurrency: 2 in-flight device_puts measured ~1.5x faster
 # than one big put (tests_tpu/h2d_overlap_probe.py); >2 gains nothing
 H2D_SPLIT = int(os.environ.get("BENCH_H2D_SPLIT", "2"))
-REPS = int(os.environ.get("BENCH_REPS", "3"))
+REPS = int(os.environ.get("BENCH_REPS", "5"))  # best-of-REPS: each rep
+# is a fresh draw against the relay's fluctuating background load
+# (measured same-minute swings of 37-93 FPS at the same program);
+# more draws = better odds of catching a quiet window, ~10 s each
 
 # backend-init retry schedule: the relay returns UNAVAILABLE while the
 # tunnel is contended or briefly down; waiting out a stray session is

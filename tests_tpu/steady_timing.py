@@ -63,6 +63,7 @@ def main():
             "stage_ms_p50": res.get("stage_ms_p50", {}),
             "stage_ms_warm": res.get("stage_ms_warm", {}),
             "stage_ms_steady_total": res.get("stage_ms_steady_total", {}),
+            "stage_n": res.get("stage_n", {}),
             "compile_wall_s": res.get("compile_wall_s", float("nan")),
         }
         print(f"chunk {chunk}: steady {res['steady_frame_ms']:.1f} ms/frame, "
