@@ -56,7 +56,12 @@ def loop_truth(data, frames: int, pairs, min_gap: int, gt_dist_m: float,
         t = float(np.clip(data.image_ts[i], data.gt_ts[0], data.gt_ts[-1]))
         pos[i] = euroc.interpolate_gt(data, t)[0]
 
-    pairs = [(int(i), int(j)) for i, j in pairs]
+    # the chunked evaluator pads the FINAL chunk by repeating the last
+    # image (eval/euroc_eval.py load_chunk), so a loop accepted at a
+    # pad frame carries id >= frames; the pad IS the last frame's
+    # image, so clamp and dedupe rather than index out of bounds
+    pairs = sorted({(min(int(i), frames - 1), min(int(j), frames - 1))
+                    for i, j in pairs})
     true_pairs = [
         (i, j) for i, j in pairs
         if np.linalg.norm(pos[i] - pos[j]) < gt_dist_m

@@ -185,3 +185,34 @@ def test_snapshot_roundtrip():
     np.testing.assert_array_equal(np.asarray(restored["a"]), np.arange(5))
     assert jax.random.normal(restored["b"][1]).shape == ()
     os.remove(path)
+
+
+def test_longrun_loop_truth_clamps_pad_frames():
+    """The chunked evaluator pads the final chunk by repeating the last
+    image (eval/euroc_eval.py load_chunk), so accepted loop pairs can
+    carry a query id == frames. loop_truth must clamp those to the last
+    real frame (whose image the pad duplicates) instead of crashing —
+    regression for the r5 on-chip longrun abort."""
+    from aria_slam_tpu.eval.longrun import loop_truth
+    from aria_slam_tpu.io.euroc import EurocData
+
+    frames = 12
+    ts = np.arange(frames, dtype=np.float64)
+    # circular path of circumference 8 -> frame i and i+8 coincide
+    ang = 2 * np.pi * (ts % 8) / 8
+    pos = np.stack([np.cos(ang), np.sin(ang), np.zeros(frames)], axis=1)
+    quat = np.tile(np.array([1.0, 0, 0, 0]), (frames, 1))
+    data = EurocData(
+        image_ts=ts, image_paths=[""] * frames,
+        imu_ts=np.zeros(0), imu_gyro=np.zeros((0, 3)),
+        imu_accel=np.zeros((0, 3)),
+        gt_ts=ts, gt_pos=pos, gt_quat=quat)
+
+    # (3, 11) is a true revisit (11 % 8 == 3); (3, 12) is the same pair
+    # reported at the PAD frame id (12 == frames -> clamps to 11)
+    prec, recall, n_true, n_opp, det = loop_truth(
+        data, frames, [(3, 11), (3, 12)], min_gap=4, gt_dist_m=0.3,
+        db_capacity=64)
+    assert det["accepted"] == 1  # (3,12) clamps to (3,11): deduped
+    assert prec == 1.0 and n_true >= 1
+    assert 0.0 <= recall <= 1.0
