@@ -473,6 +473,13 @@ class ChunkedSlam:
         # (eval/longrun.py; the reference reports only a count,
         # euroc_eval.cpp:276)
         self.loop_pairs: list = []
+        # opt-in loop-closure stage diagnostics (eval/longrun.py --diag):
+        # set to [] BEFORE run to collect, per chunk, the prefilter
+        # candidate frame ids, exact scores, budget selection, and
+        # verify verdicts — enough to attribute every missed revisit to
+        # prefilter / score / budget / verify. Costs one extra D2H
+        # fetch (db.frame_id, 2 KB) per chunk; None (default) is free.
+        self.lc_diag: list | None = None
         self._db_head = 0  # host mirror of db.head (avoids a D2H sync)
         self.trajectory: list = []
         # scale-propagation carry: last frame's unit depths (device) +
@@ -965,6 +972,12 @@ class ChunkedSlam:
                 sims = np.asarray(sims)  # forces query + state commit
             loop_found = False
             accepted_pairs: list = []  # (chunk fidx, matched DB slot)
+            diag = None
+            if self.lc_diag is not None:
+                diag = {"base": int(self.frame_count), "c": int(c),
+                        "cand_fid": None, "scores": None,
+                        "sel": [], "fidx": None, "passed": None}
+                self.lc_diag.append(diag)
             if (sims[:, 0] > 0).any():
                 scores = np.array(scores_dev)  # (C, k) — writable copy
                 scores[sims <= 0] = -1.0
@@ -992,6 +1005,17 @@ class ChunkedSlam:
                         if vals[i] >= cfg.loop.min_score:
                             sel.append(i * nk + cols[i])
                 sel = sel[:vm]
+                if diag is not None:
+                    # candidate identity: the query ran pre-insert, so
+                    # slots overwritten by THIS chunk's ring insert now
+                    # hold different keyframes — flag them -2 (the same
+                    # rule as the live mask below); gated-out slots
+                    # carry score -1 from the sims mask above
+                    cap_d = int(self.cfg.loop.max_keyframes)
+                    cand = np.asarray(self.db.frame_id)[slots_np]
+                    dead = (slots_np - head_before) % cap_d < c
+                    diag.update(cand_fid=np.where(dead, -2, cand),
+                                scores=scores.copy(), sel=list(sel))
                 if sel:
                     cap_ = int(self.cfg.loop.max_keyframes)
                     fidx = np.zeros(vm, np.int32)
@@ -1020,6 +1044,8 @@ class ChunkedSlam:
                             jnp.asarray(corr_before, jnp.float32),
                         )
                         passed = np.asarray(passed) & live
+                    if diag is not None:
+                        diag.update(fidx=fidx.copy(), passed=passed.copy())
                     T_rels = np.asarray(T_rels)
                     twts = np.asarray(twts)
                     db_fids = np.asarray(self.db.frame_id)

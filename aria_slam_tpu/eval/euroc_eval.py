@@ -39,11 +39,13 @@ from aria_slam_tpu.utils import profiling
 def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
         config: PipelineConfig | None = None, verbose: bool = True,
         chunk: int = 0, profile_dir: str | None = None,
-        keep_pipe: bool = False) -> dict:
+        keep_pipe: bool = False, lc_diag: bool = False) -> dict:
     """chunk = 0: online per-frame pipeline (reference parity).
     chunk > 1: batched offline evaluation (TPU-native chunked windows).
     profile_dir: capture a jax.profiler device trace of the loop.
-    keep_pipe: stash the pipeline object under results['_pipe']."""
+    keep_pipe: stash the pipeline object under results['_pipe'].
+    lc_diag: collect per-chunk loop-closure stage diagnostics on the
+    pipe (chunked mode only; see ChunkedSlam.lc_diag)."""
     import contextlib
 
     from aria_slam_tpu.pipeline.slam_pipeline import SlamPipeline
@@ -70,6 +72,8 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
         from concurrent.futures import ThreadPoolExecutor
 
         pipe = ChunkedSlam(config, chunk=chunk, timer=timer)
+        if lc_diag:
+            pipe.lc_diag = []
 
         bad_idx: set = set()   # unreadable image indices (dedup: chunk
         last_good = None       # overlaps decode boundary frames twice)

@@ -90,6 +90,81 @@ def loop_truth(data, frames: int, pairs, min_gap: int, gt_dist_m: float,
     }
 
 
+def diag_attribution(data, frames: int, min_gap: int, gt_dist_m: float,
+                     db_capacity: int, min_score: float, lc_diag):
+    """Attribute each missed opportunity frame to the loop-closure
+    stage that decided it (requires ChunkedSlam.lc_diag collection):
+
+      recalled   — a true candidate was selected, verified, and passed
+      verify     — a true candidate was selected but geometric verify
+                   rejected every one
+      budget     — a true candidate scored >= min_score but lost the
+                   per-chunk selection budget
+      score      — a true candidate reached the prefilter top-k but its
+                   exact match score fell below min_score
+      prefilter  — an in-DB true neighbor exists (by the opportunity
+                   definition) but the histogram prefilter never
+                   surfaced it in the top-k slots
+      no_query   — the chunk produced no eligible candidates at all
+    """
+    from aria_slam_tpu.io import euroc
+
+    pos = np.zeros((frames, 3))
+    for i in range(frames):
+        t = float(np.clip(data.image_ts[i], data.gt_ts[0], data.gt_ts[-1]))
+        pos[i] = euroc.interpolate_gt(data, t)[0]
+
+    by_chunk = {}
+    for d in lc_diag:
+        by_chunk[d["base"]] = d
+
+    counts = {"recalled": 0, "verify": 0, "budget": 0, "score": 0,
+              "prefilter": 0, "no_query": 0}
+    best_missed_scores: list = []  # best true-cand score of missed frames
+    for j in range(frames):
+        lo, hi = max(0, j - db_capacity), j - min_gap
+        if hi <= lo or not np.any(
+                np.linalg.norm(pos[lo:hi] - pos[j], axis=1) < gt_dist_m):
+            continue  # not an opportunity frame
+        d = None
+        for base, dd in by_chunk.items():
+            if base <= j < base + dd["c"]:
+                d = dd
+                break
+        if d is None or d["scores"] is None:
+            counts["no_query"] += 1
+            continue
+        i = j - d["base"]
+        cand, sc = d["cand_fid"][i], d["scores"][i]
+        nk = d["scores"].shape[1]
+        valid = cand >= 0
+        dist = np.full(nk, np.inf)
+        dist[valid] = np.linalg.norm(pos[cand[valid]] - pos[j], axis=1)
+        true_m = valid & (dist < gt_dist_m) & (j - cand >= min_gap)
+        if not true_m.any():
+            counts["prefilter"] += 1
+            continue
+        if sc[true_m].max() < min_score:
+            counts["score"] += 1
+            best_missed_scores.append(float(sc[true_m].max()))
+            continue
+        flat_true = {i * nk + k for k in np.flatnonzero(
+            true_m & (sc >= min_score))}
+        sel_rows = [n for n, p in enumerate(d["sel"]) if p in flat_true]
+        if not sel_rows:
+            counts["budget"] += 1
+            continue
+        if d["passed"] is not None and any(
+                bool(d["passed"][n]) for n in sel_rows):
+            counts["recalled"] += 1
+        else:
+            counts["verify"] += 1
+    if best_missed_scores:
+        counts["score_miss_best_scores_p50"] = round(
+            float(np.median(best_missed_scores)), 4)
+    return counts
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--frames", type=int, default=1040,
@@ -101,6 +176,9 @@ def main():
                     help="GT distance under which a loop pair is true")
     ap.add_argument("--scene", default=None)
     ap.add_argument("--out", default="LONGRUN_r05.json")
+    ap.add_argument("--diag", action="store_true",
+                    help="collect per-chunk LC diagnostics and emit a "
+                         "per-stage miss attribution (loop_recall_diag)")
     args = ap.parse_args()
 
     from aria_slam_tpu.eval import euroc_eval
@@ -118,7 +196,8 @@ def main():
         print(f"scene generated: {scene}", flush=True)
 
     res = euroc_eval.run(scene, out_dir="/tmp/longrun_out", config=cfg,
-                         verbose=True, chunk=args.chunk, keep_pipe=True)
+                         verbose=True, chunk=args.chunk, keep_pipe=True,
+                         lc_diag=args.diag)
     pipe = res.pop("_pipe")
 
     data = euroc.load(scene)
@@ -148,6 +227,10 @@ def main():
         **{k: (round(v, 4) if isinstance(v, float) else v)
            for k, v in res.items()},
     }
+    if args.diag:
+        report["loop_recall_diag"] = diag_attribution(
+            data, args.frames, int(cfg.loop.min_frames_between),
+            args.gt_dist, cap, float(cfg.loop.min_score), pipe.lc_diag)
     with open(args.out, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps({k: v for k, v in report.items()
