@@ -308,6 +308,15 @@ def verify_candidate(db: KeyframeDB, feats: Features, slot, K,
     loop_ransac = dataclasses.replace(
         ransac, inlier_threshold_px=cfg.verify_threshold_px,
         min_inliers=ransac_bar,
+        # a revisit CAN sit at the exact same pose (true 0 baseline) —
+        # there the cheirality front gate is a coin flip on the
+        # arbitrary t direction and rejected ~46% of true loops
+        # (LONGRUN_r05 diag: verify 387/846 with full-consensus
+        # inliers and R_err <= 0.03 deg). The rotation-only rescue is
+        # self-gating and exactly matches the loop-edge model here:
+        # _loop_scale puts |t| ~ 0 on such pairs and parallax_t_weight
+        # already downweights their translation.
+        rot_only_rescue=True,
     )
     if guided:
         xy_q, xy_t, ok, ok_loose = _match_against_slot(

@@ -95,6 +95,22 @@ class RansacConfig:
     h_fallback: bool = True
     h_hypotheses: int = 64
     h_support_ratio: float = 0.72
+    # rotation-only cheirality rescue (loop verification): cheirality
+    # is a SIGN test on triangulated depths, and at a true ~0-baseline
+    # revisit those signs follow the arbitrary estimated t direction —
+    # a correct pose fails the front gate ~50% of the time (measured:
+    # longrun recall 0.54, verify_fail_best_inliers_p50 = the full
+    # feature count, R_err <= 0.03 deg on the failing pairs). When
+    # rot_frac of the epipolar consensus is ALSO explained by rotation
+    # alone (|angle(R p1, p2)| under the same pixel threshold — a
+    # t-independent residual that is only small for everything when the
+    # effective baseline/depth is tiny), the front gate is meaningless
+    # and is bypassed. Self-gating: any real parallax breaks the
+    # rotation-only fit on near points. Default OFF — the VO stack
+    # handles its own low-parallax regime (gyro prior / H-rescue);
+    # loop verification opts in (backend/loop_closure.verify_candidate).
+    rot_only_rescue: bool = False
+    rot_only_frac: float = 0.7
     seed: int = 7
 
 

@@ -1033,7 +1033,7 @@ class ChunkedSlam:
                         # 10x-weighted edge. Drop those pairs.
                         live[n_] = (sl[n_] - head_before) % cap_ >= c
                     with self._st("loop_verify"):
-                        passed, _, T_rels, twts = self._lc_verify_batch(
+                        passed, n_inl, T_rels, twts = self._lc_verify_batch(
                             self.db, out["desc"], out["xy"], out["dvalid"],
                             out["Z2"], out["M2"],
                             jnp.asarray(self._chunk_scales),
@@ -1045,7 +1045,8 @@ class ChunkedSlam:
                         )
                         passed = np.asarray(passed) & live
                     if diag is not None:
-                        diag.update(fidx=fidx.copy(), passed=passed.copy())
+                        diag.update(fidx=fidx.copy(), passed=passed.copy(),
+                                    n_inliers=np.asarray(n_inl).copy())
                     T_rels = np.asarray(T_rels)
                     twts = np.asarray(twts)
                     db_fids = np.asarray(self.db.frame_id)

@@ -121,6 +121,8 @@ def diag_attribution(data, frames: int, min_gap: int, gt_dist_m: float,
     counts = {"recalled": 0, "verify": 0, "budget": 0, "score": 0,
               "prefilter": 0, "no_query": 0}
     best_missed_scores: list = []  # best true-cand score of missed frames
+    verify_fail_inliers: list = []  # best inlier count among failed rows
+    verify_fail_alternates: list = []  # qualifying true cands not tried
     for j in range(frames):
         lo, hi = max(0, j - db_capacity), j - min_gap
         if hi <= lo or not np.any(
@@ -159,6 +161,19 @@ def diag_attribution(data, frames: int, min_gap: int, gt_dist_m: float,
             counts["recalled"] += 1
         else:
             counts["verify"] += 1
+            if d.get("n_inliers") is not None:
+                verify_fail_inliers.append(max(
+                    int(d["n_inliers"][n]) for n in sel_rows))
+            # true candidates >= min_score that never got a verify slot
+            # (a deeper per-frame retry could still rescue this frame)
+            verify_fail_alternates.append(len(flat_true) - len(sel_rows))
+    if verify_fail_inliers:
+        counts["verify_fail_best_inliers_p50"] = int(
+            np.median(verify_fail_inliers))
+        counts["verify_fail_best_inliers_p90"] = int(
+            np.percentile(verify_fail_inliers, 90))
+        counts["verify_fail_frames_with_untried_alternates"] = int(
+            np.sum(np.asarray(verify_fail_alternates) > 0))
     if best_missed_scores:
         counts["score_miss_best_scores_p50"] = round(
             float(np.median(best_missed_scores)), 4)

@@ -373,7 +373,32 @@ def estimate_relative_pose(
     # 0.35, not 0.5: at near-zero parallax the triangulated depth SIGN
     # is noise for many points, so a correct pose can sit near 50%
     # front; a wrong-sign translation puts nearly everything behind
-    success = (num_inliers > cfg.min_inliers) & (front > 0.35 * num_inliers)
+    cheirality_ok = front > 0.35 * num_inliers
+    if cfg.rot_only_rescue:
+        # at a TRUE ~0-baseline pair even 0.35 is not safe: the depth
+        # signs follow the arbitrary t direction and a correct pose
+        # lands at front = 0 half the time (see RansacConfig). The
+        # rotation-only residual angle(R p1, p2) is t-independent; when
+        # it explains >= rot_only_frac of the epipolar consensus under
+        # the same pixel threshold, the pair is in the rotation-only
+        # regime where cheirality carries no information. Self-gating:
+        # real parallax breaks this fit on near points.
+        r1 = jnp.concatenate([p1, jnp.ones((p1.shape[0], 1), p1.dtype)], -1)
+        r2 = jnp.concatenate([p2, jnp.ones((p2.shape[0], 1), p2.dtype)], -1)
+        r1 = r1 / jnp.maximum(
+            jnp.linalg.norm(r1, axis=-1, keepdims=True), 1e-9)
+        r2 = r2 / jnp.maximum(
+            jnp.linalg.norm(r2, axis=-1, keepdims=True), 1e-9)
+        cosang = jnp.clip(jnp.sum((r1 @ R.T) * r2, -1), -1.0, 1.0)
+        # small-angle: the pixel gate maps to thresh_px / focal radians
+        rot_res_sq = 2.0 * (1.0 - cosang)  # = angle^2 for small angles
+        rot_inl = (rot_res_sq < thresh_sq) & inlier_mask
+        n_rot = jnp.sum(rot_inl.astype(jnp.float32))
+        rot_only = ((n_rot > cfg.min_inliers)
+                    & (n_rot >= cfg.rot_only_frac
+                       * num_inliers.astype(jnp.float32)))
+        cheirality_ok = cheirality_ok | rot_only
+    success = (num_inliers > cfg.min_inliers) & cheirality_ok
     return PoseDelta(
         R=R, t=t, num_inliers=num_inliers, inlier_mask=inlier_mask, success=success
     )

@@ -246,3 +246,73 @@ def test_pin_depths_dispatch_matches_components():
         d, jnp.asarray(uv1), jnp.asarray(uv2), ones, Kj, sigma_px=0.7)
     np.testing.assert_allclose(np.asarray(z_b), np.asarray(z_tf))
     assert (np.asarray(g_b) == np.asarray(g_tf)).all()
+
+
+def _pure_rotation_pair(seed=0, n=200, yaw_deg=8.0, noise_px=0.3):
+    """Two views from the SAME camera center (true 0-baseline revisit)."""
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform([-4, -3, 4], [4, 3, 12], size=(n, 3))
+    R = np.asarray(lie.so3_exp(jnp.asarray(
+        [0.0, np.radians(yaw_deg) * 0.5, np.radians(yaw_deg)],
+        jnp.float32)))
+
+    def project(X, Rw):
+        Xc = X @ Rw.T
+        uv = Xc[:, :2] / Xc[:, 2:3]
+        return uv * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
+
+    uv1 = project(pts, np.eye(3)) + rng.normal(0, noise_px, (n, 2))
+    uv2 = project(pts, R) + rng.normal(0, noise_px, (n, 2))
+    return uv1.astype(np.float32), uv2.astype(np.float32), R
+
+
+def test_rot_only_rescue_accepts_zero_baseline_pair():
+    """Cheirality is a coin flip on the arbitrary t at a true 0-baseline
+    revisit (LONGRUN_r05 diag: 46% of true loops died there with full
+    consensus and R_err <= 0.03 deg). With rot_only_rescue the pair must
+    succeed for EVERY seed, with the correct rotation."""
+    cfg = RansacConfig(num_hypotheses=128, rot_only_rescue=True,
+                       inlier_threshold_px=3.0)
+    fn = jax.jit(lambda a, b, v, k: E.estimate_relative_pose(
+        a, b, v, jnp.asarray(K), cfg, k))
+    for seed in range(6):
+        uv1, uv2, R_gt = _pure_rotation_pair(seed)
+        d = fn(jnp.asarray(uv1), jnp.asarray(uv2),
+               jnp.ones(len(uv1), bool), jax.random.PRNGKey(seed))
+        assert bool(d.success), f"seed {seed} failed"
+        assert rot_err_deg(np.asarray(d.R), R_gt) < 0.5
+
+
+def test_rot_only_rescue_keeps_garbage_failing():
+    """Random correspondences must still fail with the rescue on — the
+    rotation-only residual is only small when a real rotation explains
+    the consensus."""
+    rng = np.random.default_rng(3)
+    uv1 = rng.uniform([0, 0], [752, 480], size=(200, 2)).astype(np.float32)
+    uv2 = rng.uniform([0, 0], [752, 480], size=(200, 2)).astype(np.float32)
+    cfg = RansacConfig(num_hypotheses=128, rot_only_rescue=True,
+                       inlier_threshold_px=3.0, min_inliers=40)
+    d = E.estimate_relative_pose(jnp.asarray(uv1), jnp.asarray(uv2),
+                                 jnp.ones(200, bool), jnp.asarray(K),
+                                 cfg, jax.random.PRNGKey(0))
+    assert not bool(d.success)
+
+
+def test_rot_only_rescue_no_effect_on_real_baseline():
+    """On a genuine-parallax pair the rescue flag must not change the
+    estimate: rotation alone cannot explain near points, so the branch
+    self-gates off and the existing behavior is bit-identical."""
+    uv1, uv2, R_gt, t_gt, _ = synthetic_two_view(5)
+    on = RansacConfig(num_hypotheses=256, rot_only_rescue=True)
+    off = RansacConfig(num_hypotheses=256, rot_only_rescue=False)
+    k = jax.random.PRNGKey(11)
+    d_on = E.estimate_relative_pose(jnp.asarray(uv1), jnp.asarray(uv2),
+                                    jnp.ones(len(uv1), bool),
+                                    jnp.asarray(K), on, k)
+    d_off = E.estimate_relative_pose(jnp.asarray(uv1), jnp.asarray(uv2),
+                                     jnp.ones(len(uv1), bool),
+                                     jnp.asarray(K), off, k)
+    assert bool(d_on.success) == bool(d_off.success)
+    np.testing.assert_allclose(np.asarray(d_on.R), np.asarray(d_off.R))
+    np.testing.assert_allclose(np.asarray(d_on.t), np.asarray(d_off.t))
+    assert int(d_on.num_inliers) == int(d_off.num_inliers)
