@@ -504,6 +504,7 @@ class ChunkedSlam:
         self._vis_local = 1.0
         # multi-view landmark-depth pin correction (config.ba_scale_pin)
         self._ba_corr = 1.0
+        self._pack_fn = None  # lazy jitted concat for _fetch_out
         # VINS-style retroactive metric rebase: when the IMU correction
         # jumps (first alignment, or a later >2% EMA move), the whole
         # RECORDED state — graph node/edge translations, keyframe poses,
@@ -527,6 +528,40 @@ class ChunkedSlam:
 
         return (self._timer.stage(name) if self._timer is not None
                 else contextlib.nullcontext())
+
+    # per-pair statistic arrays process_chunk reads on host — fetched
+    # together in ONE D2H roundtrip (each separate np.asarray of a
+    # device array is a ~26-32 ms relay roundtrip on this rig,
+    # DISPATCH_FLOOR_TPU.json; reading these 12 one at a time cost
+    # ~0.3 s of pure sync tax per chunk)
+    _FETCH_KEYS = ("R", "t", "ok", "pins", "ratios", "rcounts",
+                   "pin_oks", "pinl", "okl", "pinokl", "Rl", "tl")
+
+    def _fetch_many(self, arrs):
+        """Fetch several small device arrays in ONE D2H roundtrip via a
+        jitted f32-ravel concat; dtypes are restored on host — bool
+        flags are exact as 0/1 f32, ints < 2^24 are exact in f32.
+        Returns writable numpy arrays in input order."""
+        if self._pack_fn is None:
+            self._pack_fn = jax.jit(lambda ts: jnp.concatenate(
+                [a.ravel().astype(jnp.float32) for a in ts]))
+        host = np.asarray(self._pack_fn(tuple(arrs)))
+        outs, off = [], 0
+        for a in arrs:
+            n = int(np.prod(a.shape))
+            outs.append(host[off:off + n].reshape(a.shape)
+                        .astype(a.dtype))
+            off += n
+        return outs
+
+    def _fetch_out(self, out: dict) -> None:
+        """Replace `out`'s per-pair statistic device arrays with host
+        numpy via one packed fetch; the fetch also forces the frontend
+        program. Big consumers (desc/xy/hists/track tensors) stay on
+        device untouched."""
+        keys = [k for k in self._FETCH_KEYS if k in out]
+        for k, h in zip(keys, self._fetch_many([out[k] for k in keys])):
+            out[k] = h
 
     def _chain_scales(self, out, c) -> np.ndarray:
         """Per-pair metric scales. "propagate": s_k = s_{k-1} * ratio_k
@@ -629,7 +664,10 @@ class ChunkedSlam:
             out = self._frontend(fr, self._zlast, self._mlast, k1,
                                  jnp.asarray(gyro_R, jnp.float32),
                                  jnp.asarray(gyro_ok))
-            R = np.asarray(out["R"])  # forces the frontend program
+            self._fetch_out(out)  # ONE roundtrip: forces the frontend
+            # program and lands every per-pair statistic the host chain
+            # below reads (R/t/ok + scale-chain + backbone arrays)
+            R = np.asarray(out["R"])
             t = np.asarray(out["t"])
             ok = np.asarray(out["ok"])
         self._zlast = out["Z2"][-1]  # stays on device for the next chunk
@@ -968,8 +1006,9 @@ class ChunkedSlam:
         # — one relay dispatch, not two.
         if cfg.enable_loop_closure:
             with self._st("loop_query"):
-                sims, slots, scores_dev = lc_pending
-                sims = np.asarray(sims)  # forces query + state commit
+                # one packed roundtrip forces query + state commit and
+                # lands all three candidate arrays (was 3 roundtrips)
+                sims, slots_h, scores = self._fetch_many(lc_pending)
             loop_found = False
             accepted_pairs: list = []  # (chunk fidx, matched DB slot)
             diag = None
@@ -979,14 +1018,13 @@ class ChunkedSlam:
                         "sel": [], "fidx": None, "passed": None}
                 self.lc_diag.append(diag)
             if (sims[:, 0] > 0).any():
-                scores = np.array(scores_dev)  # (C, k) — writable copy
                 scores[sims <= 0] = -1.0
                 # verify the top VERIFY_MAX scoring (frame, candidate)
                 # pairs of the chunk in ONE vmapped call (parity: the
                 # reference's per-frame top-5 verification loop); accept
                 # at most one passing candidate per frame, then optimize
                 # once with all accepted edges.
-                slots_np = np.asarray(slots)
+                slots_np = slots_h
                 # budget scales with chunk size (VERDICT r4 weak #1) and
                 # selection is per-frame-BEST-first: every frame's top
                 # candidate competes before any frame's second — a flat
@@ -1043,13 +1081,15 @@ class ChunkedSlam:
                             # via the retro rebase below, not mid-chunk
                             jnp.asarray(corr_before, jnp.float32),
                         )
-                        passed = np.asarray(passed) & live
+                        # one packed roundtrip for the verify verdicts,
+                        # edges, weights AND the DB frame ids (was 5)
+                        passed, n_inl, T_rels, twts, db_fids = (
+                            self._fetch_many([passed, n_inl, T_rels,
+                                              twts, self.db.frame_id]))
+                        passed = passed & live
                     if diag is not None:
                         diag.update(fidx=fidx.copy(), passed=passed.copy(),
-                                    n_inliers=np.asarray(n_inl).copy())
-                    T_rels = np.asarray(T_rels)
-                    twts = np.asarray(twts)
-                    db_fids = np.asarray(self.db.frame_id)
+                                    n_inliers=n_inl.copy())
                     done_frames: set = set()
                     for n_ in range(vm):
                         if not passed[n_] or int(fidx[n_]) in done_frames:

@@ -39,13 +39,21 @@ from aria_slam_tpu.utils import profiling
 def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
         config: PipelineConfig | None = None, verbose: bool = True,
         chunk: int = 0, profile_dir: str | None = None,
-        keep_pipe: bool = False, lc_diag: bool = False) -> dict:
+        keep_pipe: bool = False, lc_diag: bool = False,
+        prefetch_h2d: bool = True) -> dict:
     """chunk = 0: online per-frame pipeline (reference parity).
     chunk > 1: batched offline evaluation (TPU-native chunked windows).
     profile_dir: capture a jax.profiler device trace of the loop.
     keep_pipe: stash the pipeline object under results['_pipe'].
     lc_diag: collect per-chunk loop-closure stage diagnostics on the
-    pipe (chunked mode only; see ChunkedSlam.lc_diag)."""
+    pipe (chunked mode only; see ChunkedSlam.lc_diag).
+    prefetch_h2d: chunked mode only — the decode worker thread issues
+    an async jax.device_put of the next chunk's uint8 window, so the
+    ~10 ms/frame relay upload (H2D_TPU.json) rides UNDER the current
+    chunk's device work instead of serializing in front of the next
+    frontend call (the full-pipeline analogue of bench.py's pipelined
+    headline loop; the reference streams frames the same way,
+    Frame.cpp:19 per-frame uploads under its CUDA streams)."""
     import contextlib
 
     from aria_slam_tpu.pipeline.slam_pipeline import SlamPipeline
@@ -108,7 +116,16 @@ def run(dataset_path: str, out_dir: str = ".", max_frames: int | None = None,
                     else:
                         last_good = img
                     frames.append(img)
-                return np.stack(frames), [data.image_ts[i] for i in idxs], hi
+                window = np.stack(frames)
+                if prefetch_h2d:
+                    # async H2D from the worker thread: the transfer
+                    # streams while the MAIN thread is still inside the
+                    # current chunk's process_chunk (ChunkedSlam only
+                    # touches .shape and jnp.asarray on this, so a
+                    # committed device array is a drop-in)
+                    import jax
+                    window = jax.device_put(window)
+                return window, [data.image_ts[i] for i in idxs], hi
 
         # fixed chunk size => one compile; iterate with 1-frame overlap,
         # decoding the next chunk while the device runs the current one

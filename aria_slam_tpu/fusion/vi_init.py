@@ -145,9 +145,14 @@ def preintegrate_pairs(imu_ts, imu_accel, imu_gyro, frame_ts,
     dpj, dvj, dtj = _integrate_pairs_device(
         jnp.asarray(t0s), jnp.asarray(ts_pad), jnp.asarray(a_pad),
         jnp.asarray(w_pad), jnp.asarray(v_pad), gb, ab, max_dt)
-    dp = np.asarray(dpj)
-    dv = np.asarray(dvj)
-    dts = np.asarray(dtj)
+    # ONE D2H roundtrip for all three results: each separate fetch is
+    # a ~26-32 ms relay roundtrip on this rig (DISPATCH_FLOOR_TPU.json)
+    # and this runs once per chunk in the imu_scale stage
+    packed = np.asarray(jnp.concatenate(
+        [dpj.ravel(), dvj.ravel(), dtj.ravel()]))
+    dp = packed[: 3 * p].reshape(p, 3)
+    dv = packed[3 * p : 6 * p].reshape(p, 3)
+    dts = packed[6 * p :]
     ok = ok & (dts > 1e-6) & np.all(np.isfinite(dp), -1)
     return dp, dv, dts, ok
 
