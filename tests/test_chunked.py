@@ -153,3 +153,29 @@ def test_add_keyframes_batch_matches_incremental():
     np.testing.assert_array_equal(np.asarray(db1.desc), np.asarray(db2.desc))
     np.testing.assert_allclose(np.asarray(db1.hist), np.asarray(db2.hist), atol=1e-6)
     assert int(db1.head) == int(db2.head) == 3
+
+
+def test_fetch_many_restores_dtypes_exactly():
+    """ChunkedSlam._fetch_many packs mixed-dtype device arrays through
+    one f32-ravel concat fetch; bools, small ints, and f32 payloads must
+    come back bit-exact and in input order (the LC verify path trusts
+    this for verdict flags, edge poses, weights, and DB frame ids)."""
+    from aria_slam_tpu.eval.chunked import ChunkedSlam
+
+    self = ChunkedSlam.__new__(ChunkedSlam)  # helper needs no init
+    self._pack_fn = None
+    rng = np.random.default_rng(7)
+    flags = rng.random(13) > 0.5
+    ints = rng.integers(0, 2**20, (5, 3)).astype(np.int32)
+    mats = rng.normal(size=(4, 4, 4)).astype(np.float32)
+    scal = np.float32(3.25)
+    outs = self._fetch_many([jnp.asarray(flags), jnp.asarray(ints),
+                             jnp.asarray(mats), jnp.asarray(scal)])
+    assert [o.dtype for o in outs] == [flags.dtype, ints.dtype,
+                                       mats.dtype, scal.dtype]
+    np.testing.assert_array_equal(outs[0], flags)
+    np.testing.assert_array_equal(outs[1], ints)
+    np.testing.assert_array_equal(outs[2], mats)
+    assert float(outs[3]) == 3.25
+    # host copies must be writable (the LC path mutates scores in place)
+    outs[2][0, 0, 0] = 0.0
